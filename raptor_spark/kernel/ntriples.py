@@ -1,0 +1,450 @@
+"""N-Triples / N-Quads document parser.
+
+Python re-expression of the reference scanner semantics
+(dajobe/raptor: src/raptor_ntriples.c:50-745 term scanner + unescaper,
+src/ntriples_parse.c:165-361 line parser, :380-575 quote-aware line
+splitting). Operates on whole documents (one transcript == one document),
+so there is no partial-chunk buffering — the Spark layer never splits
+inside a document.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from raptor_spark.kernel.terms import (
+    KIND_BLANK,
+    KIND_LITERAL,
+    KIND_URI,
+    RDF_NS,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    ParseError,
+    Triple,
+    check_ordinal,
+    is_absolute_uri,
+    make_literal,
+)
+
+_ASCII_SPACE = " \t\n\v\f\r"
+
+# term classes (reference: src/raptor_ntriples.c:51-57)
+CLASS_URI = 0
+CLASS_BNODEID = 1
+CLASS_STRING = 2
+CLASS_LANGUAGE = 3
+
+_URI_INVALID = set(' <>"{}|^`\\')
+
+
+def _term_char_valid(c: str, position: int, term_class: int) -> bool:
+    """Per-class character validity (reference: src/raptor_ntriples.c:60-105)."""
+    o = ord(c)
+    if term_class == CLASS_URI:
+        return o > 0x20 and c not in _URI_INVALID
+    if term_class == CLASS_BNODEID:
+        ok = ("A" <= c <= "Z") or ("a" <= c <= "z") or ("0" <= c <= "9") or c in "_:"
+        if position:
+            ok = ok or c in "-."
+        return ok
+    if term_class == CLASS_STRING:
+        return c != '"'
+    if term_class == CLASS_LANGUAGE:
+        ok = ("A" <= c <= "Z") or ("a" <= c <= "z")
+        if position:
+            ok = ok or ("0" <= c <= "9") or c in "-_"
+        return ok
+    return False
+
+
+def scan_term_body(
+    s: str, i: int, end_char: Optional[str], term_class: int
+) -> Tuple[str, int]:
+    """Scan + unescape one term body starting at ``s[i]``.
+
+    Returns (unescaped_text, next_index). Mirrors
+    raptor_ntriples_parse_term_internal (src/raptor_ntriples.c:106-409):
+    ends at a non-backslashed ``end_char``, or (when end_char is None) at
+    the first class-invalid character, which is NOT consumed. Raises
+    ParseError on malformed escapes / missing terminators.
+    """
+    n = len(s)
+    out: List[str] = []
+    position = 0
+    end_char_seen = False
+    language_has_subtag = False
+    language_subtag_start = False
+
+    while i < n:
+        c = s[i]
+        i += 1
+        o = ord(c)
+
+        if o > 0x7F:
+            if term_class == CLASS_LANGUAGE:
+                raise ParseError("Invalid non-ASCII character in language tag.")
+            # raw UTF-8 passthrough
+            out.append(c)
+            continue
+
+        if c != "\\":
+            if end_char is not None and c == end_char:
+                end_char_seen = True
+                break
+            invalid = not _term_char_valid(c, position, term_class)
+            if not invalid and term_class == CLASS_LANGUAGE:
+                if language_subtag_start and c in "-_":
+                    invalid = True
+                elif not language_has_subtag and "0" <= c <= "9":
+                    invalid = True
+            if invalid:
+                if end_char is not None:
+                    raise ParseError(
+                        "Missing terminating '%s' (found '%s')" % (end_char, c)
+                    )
+                # end of term - rewind to save next char
+                i -= 1
+                if (
+                    term_class == CLASS_BNODEID
+                    and out
+                    and out[-1] == "."
+                ):
+                    # bnode id may not end on '.' - backtrack one
+                    out.pop()
+                    i -= 1
+                break
+            out.append(c)
+            if term_class == CLASS_LANGUAGE:
+                if c in "-_":
+                    language_has_subtag = True
+                language_subtag_start = c in "-_"
+            position += 1
+            continue
+
+        # backslash escape
+        if i >= n:
+            raise ParseError("\\ at end of input.")
+        c = s[i]
+        i += 1
+
+        if term_class == CLASS_URI and c not in "uU":
+            raise ParseError("URI error - illegal escape '\\%s'." % c)
+        if term_class == CLASS_LANGUAGE:
+            raise ParseError("Language tag error - illegal escape '\\%s'." % c)
+
+        if c in "\"'\\":
+            out.append(c)
+        elif c in "bfnrt":
+            out.append({"b": "\b", "f": "\f", "n": "\n", "r": "\r", "t": "\t"}[c])
+        elif c in "<>{}|^`":
+            # Turtle 2013 allows these escaped in URIs; passthrough in strings
+            out.append(c)
+        elif c in "uU":
+            ulen = 4 if c == "u" else 8
+            if n - i < ulen:
+                raise ParseError("%s over end of input." % c)
+            hexs = s[i : i + ulen]
+            try:
+                cp = int(hexs, 16)
+            except ValueError:
+                raise ParseError(
+                    "N-Triples string error - illegal hex digit in Unicode "
+                    "escape '%s%s...'" % (c, hexs)
+                )
+            i += ulen
+            if term_class == CLASS_URI and cp in (0x0020, 0x003C, 0x003E):
+                raise ParseError(
+                    "URI error - illegal Unicode escape \\u%04X in URI." % cp
+                )
+            if cp > 0x10FFFF:
+                raise ParseError(
+                    "Illegal Unicode character with code point #x%X." % cp
+                )
+            if cp in (0xFFFE, 0xFFFF):
+                raise ParseError(
+                    "Illegal Unicode character with code point #x%X." % cp
+                )
+            out.append(chr(cp))
+        else:
+            raise ParseError("Illegal string escape \\%s" % c)
+
+        position += 1
+
+    if term_class == CLASS_LANGUAGE and language_subtag_start:
+        raise ParseError("Invalid language tag ending in a separator.")
+    if end_char is not None and not end_char_seen:
+        raise ParseError("Missing terminating '%s' before end of input." % end_char)
+    return "".join(out), i
+
+
+def _scan_turtle_number(s: str, i: int) -> Tuple[str, str, int]:
+    """Bare Turtle numeric token -> (lexical, datatype, next_index).
+
+    Reference: raptor_parse_turtle_term_internal
+    (src/raptor_ntriples.c:412-471): '.' => xsd:decimal, e/E => xsd:double,
+    else xsd:integer.
+    """
+    n = len(s)
+    out: List[str] = []
+    dtype = XSD_INTEGER
+    after_e = False
+    position = 0
+    while i < n:
+        c = s[i]
+        if after_e:
+            if not (("0" <= c <= "9") or c in "+-"):
+                break
+            after_e = False
+        elif (position > 0 and c in "+-") or not (("0" <= c <= "9") or c in ".eE"):
+            break
+        if c == ".":
+            dtype = XSD_DECIMAL
+        elif c in "eE":
+            dtype = XSD_DOUBLE
+            after_e = True
+        out.append(c)
+        i += 1
+        position += 1
+    return "".join(out), dtype, i
+
+
+class Term(Tuple):
+    pass
+
+
+def parse_term(s: str, i: int, allow_turtle: bool = False, errors=None):
+    """Parse one term at ``s[i]``.
+
+    Returns ((kind, lex, datatype, lang), next_index). Mirrors
+    raptor_ntriples_parse_term (src/raptor_ntriples.c:477-745).
+    """
+    c = s[i]
+    if c == "<":
+        lex, i = scan_term_body(s, i + 1, ">", CLASS_URI)
+        if lex.startswith(RDF_NS + "_"):
+            ordinal = check_ordinal(lex[len(RDF_NS) + 1 :])
+            if ordinal <= 0:
+                # reference logs an error but still constructs the term
+                if errors is not None:
+                    errors.append(
+                        "Illegal ordinal value %d in property '%s'." % (ordinal, lex)
+                    )
+        if not is_absolute_uri(lex):
+            raise ParseError("URI '%s' is not absolute." % lex)
+        return (KIND_URI, lex, None, None), i
+    if c in "-+0123456789":
+        if not allow_turtle:
+            raise ParseError("Unknown term type '%s'" % c)
+        lex, dt, i = _scan_turtle_number(s, i)
+        return (KIND_LITERAL, lex, dt, None), i
+    if c == '"':
+        lex, i = scan_term_body(s, i + 1, '"', CLASS_STRING)
+        lang: Optional[str] = None
+        datatype: Optional[str] = None
+        n = len(s)
+        if i < n and s[i] == "@":
+            i += 1
+            if i >= n:
+                raise ParseError('Missing language after "string"-')
+            lang, i = scan_term_body(s, i, None, CLASS_LANGUAGE)
+            if not lang:
+                raise ParseError("Invalid language tag at @%s" % s[i:])
+        if i + 1 < n and s[i] == "^" and s[i + 1] == "^":
+            i += 2
+            if i >= n or s[i] != "<":
+                raise ParseError(
+                    'Missing datatype URI-ref in "string"^^<URI-ref> after ^^'
+                )
+            datatype, i = scan_term_body(s, i + 1, ">", CLASS_URI)
+            if not is_absolute_uri(datatype):
+                raise ParseError("Datatype URI '%s' is not absolute." % datatype)
+        if datatype is not None and lang is not None:
+            # reference: warning, language dropped (src/raptor_ntriples.c:669-672)
+            if errors is not None:
+                errors.append(
+                    "Typed literal used with a language - ignoring the language"
+                )
+            lang = None
+        lex, datatype, lang = make_literal(lex, datatype, lang)
+        return (KIND_LITERAL, lex, datatype, lang), i
+    if c == "_":
+        i += 1
+        if i >= len(s) or s[i] != ":":
+            raise ParseError("Illegal bNodeID - _ not followed by :")
+        lex, i = scan_term_body(s, i + 1, None, CLASS_BNODEID)
+        if not lex:
+            raise ParseError("Bad or missing bNodeID after _:")
+        return (KIND_BLANK, lex, None, None), i
+    raise ParseError("Unknown term type '%s'" % c)
+
+
+def split_statement_lines(text: str) -> List[str]:
+    """Quote/URI/backslash-aware statement-line splitting.
+
+    Mirrors the newline scan of raptor_ntriples_parse_chunk
+    (src/ntriples_parse.c:456-486): newlines inside quoted strings do not
+    terminate a statement; a single quote only opens a quoted section when
+    not inside a ``<...>`` URI; backslash escapes the next char.
+    """
+    lines: List[str] = []
+    n = len(text)
+    i = 0
+    while i < n:
+        start = i
+        quote = ""
+        in_uri = False
+        bq = False
+        while i < n:
+            c = text[i]
+            if not bq:
+                if c == "\\":
+                    bq = True
+                    i += 1
+                    continue
+                if c == "<":
+                    in_uri = True
+                elif in_uri and c == ">":
+                    in_uri = False
+                if not quote:
+                    if (not in_uri and c == "'") or c == '"':
+                        quote = c
+                    if c in "\n\r":
+                        break
+                else:
+                    if c == quote:
+                        quote = ""
+            i += 1
+            bq = False
+        lines.append(text[start:i])
+        if i < n:
+            # go past the newline; collapse \r\n
+            if text[i] == "\r" and i + 1 < n and text[i + 1] == "\n":
+                i += 2
+            else:
+                i += 1
+    return lines
+
+
+def parse_line(
+    line: str, is_nquads: bool, allow_turtle: bool = False
+) -> Tuple[Optional[Triple], List[str]]:
+    """Parse one statement line -> (Triple or None, soft-error messages).
+
+    Mirrors raptor_ntriples_parse_line (src/ntriples_parse.c:165-361).
+    Raises ParseError on malformed terms; returns (None, [msgs]) for
+    line-structure errors the reference recovers from, and (None, []) for
+    blank/comment lines.
+    """
+    errors: List[str] = []
+    s = line.strip(_ASCII_SPACE)
+    if not s:
+        return None, errors
+    if s[0] == "#":
+        return None, errors
+
+    terms = [None, None, None, None, None]
+    max_i = 4 if is_nquads else 3
+    i = 0
+    n = len(s)
+    for ti in range(5):
+        if i >= n:
+            if is_nquads and ti in (3, 4):
+                break
+            if not is_nquads and ti == 3:
+                break
+            errors.append("Unexpected end of line")
+            return None, errors
+
+        c = s[i]
+        if ti == 3:
+            if c not in "<_":
+                errors.append(
+                    "Saw '%s', expected Graph term <URIref>, _:bnodeID" % c
+                )
+                return None, errors
+        elif ti == 2:
+            if c not in '<_"' and not (allow_turtle and c in "-+0123456789"):
+                errors.append(
+                    "Saw '%s', expected object term <URIref>, _:bnodeID or "
+                    '"literal"' % c
+                )
+                return None, errors
+        elif ti == 1:
+            if c != "<":
+                errors.append("Saw '%s', expected predicate term <URIref>" % c)
+                return None, errors
+        else:
+            if c not in "<_":
+                errors.append(
+                    "Saw '%s', expected subject term <URIref> or _:bnodeID" % c
+                )
+                return None, errors
+
+        term, i = parse_term(s, i, allow_turtle=allow_turtle, errors=errors)
+        terms[ti] = term
+
+        while i < n and s[i] in _ASCII_SPACE:
+            i += 1
+
+        # terminating '.' after the last allowed term
+        if ti == max_i and (i >= n or s[i] != "."):
+            errors.append('Missing terminating "."')
+            return None, errors
+        if i < n and s[i] == ".":
+            i += 1
+            while i < n and s[i] in _ASCII_SPACE:
+                i += 1
+            if i < n and s[i] != "#":
+                errors.append('Junk after terminating "."')
+                return None, errors
+            i = n
+
+    if is_nquads:
+        if terms[4] is not None:
+            errors.append("N-Quads only allows 3 or 4 terms")
+            return None, errors
+    else:
+        if terms[3] is not None or terms[4] is not None:
+            errors.append("N-Triples only allows 3 terms")
+            return None, errors
+
+    graph = None
+    if terms[3] is not None:
+        gk, glex, _, _ = terms[3]
+        if gk == KIND_LITERAL:
+            errors.append("Ignoring N-Quad literal contexts")
+        elif gk == KIND_BLANK:
+            graph = "_:" + glex
+        else:
+            graph = glex
+
+    sk, slex, _, _ = terms[0]
+    subj = ("_:" + slex) if sk == KIND_BLANK else slex
+    pred = terms[1][1]
+    ok, olex, odt, olang = terms[2]
+    return Triple(subj, pred, ok, olex, odt, olang, graph), errors
+
+
+def parse_document(
+    text: str, is_nquads: bool = False
+) -> Tuple[List[Triple], List[dict]]:
+    """Parse a whole NT/NQ document -> (triples, error records).
+
+    Error records are dicts {line, message}; the reference recovers from
+    line-level errors (error count -> exit code 1) but keeps parsing, and
+    aborts on hard term-scan failures — we record those and skip the line.
+    """
+    triples: List[Triple] = []
+    errors: List[dict] = []
+    for lineno, line in enumerate(split_statement_lines(text), start=1):
+        try:
+            t, msgs = parse_line(line, is_nquads)
+        except ParseError as e:
+            errors.append({"line": lineno, "message": e.message})
+            continue
+        for m in msgs:
+            errors.append({"line": lineno, "message": m})
+        if t is not None:
+            triples.append(t)
+    return triples, errors
