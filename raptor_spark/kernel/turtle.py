@@ -1,0 +1,818 @@
+"""Turtle 2013 / TriG document parser.
+
+Python re-expression of the reference's Turtle grammar semantics
+(dajobe/raptor: src/turtle_parser.y grammar actions, src/turtle_lexer.l
+token classes, src/turtle_common.c:79-226 string unescaping,
+src/raptor_qname.c:467 qname expansion). Not a port of the flex/bison
+machinery — a recursive-descent parser producing the same triples and the
+same accept/reject decisions.
+
+Reference-specific choices preserved deliberately:
+- PN_CHARS_BASE is byte-lenient: ``[A-Za-z]`` or any non-ASCII char
+  (turtle_lexer.l:187), not the W3C range list.
+- LANGTAG allows ``_`` separators (turtle_lexer.l:193).
+- String escapes allow the reserved-char set ``-_~.!$&'()*+,;=/?#@%``
+  beyond ECHAR (turtle_common.c:125-130).
+- IRIs allow only ``\\u/\\U`` escapes; ``\\u0020/\\u003C/\\u003E`` and raw
+  space are errors (turtle_lexer.l:203, turtle_common.c:98,168).
+- Language + datatype on one literal is a parse error
+  (turtle_parser.y:899-928).
+- ``@prefix``/``@base`` require a terminating DOT; SPARQL-style
+  ``PREFIX``/``BASE`` (case-insensitive) forbid it (turtle_parser.y:747-833).
+- Anonymous nodes are labeled ``genid{N}``, N monotone per document
+  (raptor_general.c:285-320).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from raptor_spark.kernel.terms import (
+    KIND_BLANK,
+    KIND_LITERAL,
+    KIND_URI,
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_REST,
+    RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    ParseError,
+    Triple,
+    make_literal,
+)
+from raptor_spark.kernel.uri import resolve_uri
+
+_WS = " \t\v\r\n"
+_RESERVED_ESCAPES = set("-_~.!$&'()*+,;=/?#@%")
+_HEX = set("0123456789abcdefABCDEF")
+
+_NUM_RE = re.compile(
+    r"""
+    [-+]?(?:
+        [0-9]+\.[0-9]*[eE][+-]?[0-9]+   # DOUBLE 1.5e0 / 1.e0
+      | \.[0-9]+[eE][+-]?[0-9]+         # DOUBLE .5e0
+      | [0-9]+[eE][+-]?[0-9]+           # DOUBLE 5e0
+      | [0-9]*\.[0-9]+                  # DECIMAL .5 / 1.5
+      | [0-9]+                          # INTEGER
+    )
+    """,
+    re.VERBOSE,
+)
+
+
+def _is_pn_chars_base(c: str) -> bool:
+    if not c:
+        return False
+    return ("A" <= c <= "Z") or ("a" <= c <= "z") or ord(c) > 0x7F
+
+
+def _is_pn_chars(c: str) -> bool:
+    return _is_pn_chars_base(c) or c == "_" or c == "-" or ("0" <= c <= "9")
+
+
+class TurtleParser:
+    """One-document Turtle/TriG parser. Not thread-safe; use per document."""
+
+    def __init__(self, base_uri: Optional[str] = None, trig: bool = False):
+        self.base = base_uri
+        self.trig = trig
+        self.ns: Dict[str, str] = {}
+        self.default_ns: Optional[str] = None
+        self.bnode_counter = 0
+        self.triples: List[Triple] = []
+        self.errors: List[dict] = []
+        self.graph: Optional[str] = None
+        self.text = ""
+        self.pos = 0
+        self.line = 1
+
+    # ----- driver -------------------------------------------------------
+
+    def parse(self, text: str) -> Tuple[List[Triple], List[dict]]:
+        self.text = text
+        self.pos = 0
+        n = len(text)
+        while True:
+            self._skip_ws()
+            if self.pos >= n:
+                break
+            try:
+                self._statement()
+            except ParseError as e:
+                self.errors.append({"line": self.line, "message": e.message})
+                self._recover()
+        return self.triples, self.errors
+
+    def _recover(self) -> None:
+        """Skip to just past the next top-level '.' (bison 'error DOT')."""
+        n = len(self.text)
+        while self.pos < n:
+            c = self.text[self.pos]
+            if c == ".":
+                self.pos += 1
+                return
+            if c == "\n":
+                self.line += 1
+            if c in "\"'<#":
+                # skip over strings/IRIs/comments wholesale so a '.' inside
+                # them doesn't end recovery
+                try:
+                    if c == "<":
+                        self._read_iri_raw()
+                    elif c == "#":
+                        while self.pos < n and self.text[self.pos] not in "\r\n":
+                            self.pos += 1
+                    else:
+                        self._read_string()
+                except ParseError:
+                    return
+                continue
+            self.pos += 1
+
+    # ----- low-level scanning -------------------------------------------
+
+    def _skip_ws(self) -> None:
+        n = len(self.text)
+        while self.pos < n:
+            c = self.text[self.pos]
+            if c == "\n":
+                self.line += 1
+                self.pos += 1
+            elif c in " \t\v\r":
+                self.pos += 1
+            elif c == "#":
+                while self.pos < n and self.text[self.pos] not in "\r\n":
+                    self.pos += 1
+            else:
+                break
+
+    def _peek(self) -> str:
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def _expect(self, ch: str) -> None:
+        if self._peek() != ch:
+            raise ParseError(
+                "syntax error: expected '%s' at %r" % (ch, self._peek()), self.line
+            )
+        self.pos += 1
+
+    def _genid(self) -> str:
+        self.bnode_counter += 1
+        return "genid%d" % self.bnode_counter
+
+    # ----- tokens ---------------------------------------------------------
+
+    def _read_iri_raw(self) -> str:
+        """Scan '<...>' and return the unescaped, UNresolved body."""
+        assert self.text[self.pos] == "<"
+        self.pos += 1
+        n = len(self.text)
+        out: List[str] = []
+        while True:
+            if self.pos >= n:
+                raise ParseError("EOF inside <IRI>", self.line)
+            c = self.text[self.pos]
+            o = ord(c)
+            if c == ">":
+                self.pos += 1
+                break
+            if c == "\\":
+                e = self.text[self.pos + 1 : self.pos + 2]
+                if e not in ("u", "U"):
+                    raise ParseError(
+                        "Turtle URI error - illegal escape '\\%s'" % e, self.line
+                    )
+                ulen = 4 if e == "u" else 8
+                hexs = self.text[self.pos + 2 : self.pos + 2 + ulen]
+                if len(hexs) < ulen or any(h not in _HEX for h in hexs):
+                    raise ParseError(
+                        "Turtle URI error - illegal hex digit in Unicode escape",
+                        self.line,
+                    )
+                cp = int(hexs, 16)
+                if cp in (0x0020, 0x003C, 0x003E):
+                    raise ParseError(
+                        "Turtle URI error - illegal Unicode escape \\u%04X in URI"
+                        % cp,
+                        self.line,
+                    )
+                if cp > 0x10FFFF or cp in (0xFFFE, 0xFFFF):
+                    raise ParseError(
+                        "illegal Unicode character #x%X" % cp, self.line
+                    )
+                out.append(chr(cp))
+                self.pos += 2 + ulen
+                continue
+            if o <= 0x20 or c in '<"{}|^`':
+                raise ParseError(
+                    "syntax error: character %r in IRI" % c, self.line
+                )
+            out.append(c)
+            self.pos += 1
+        return "".join(out)
+
+    def _read_iri(self) -> str:
+        body = self._read_iri_raw()
+        if not body:
+            if self.base is None:
+                raise ParseError("<> with no base URI", self.line)
+            return self.base
+        resolved = resolve_uri(self.base, body)
+        if not resolved:
+            raise ParseError(
+                "could not resolve URI '%s' (no base?)" % body, self.line
+            )
+        return resolved
+
+    def _unescape_string(self, raw: str, allow_newline: bool) -> str:
+        """Unescape a string body (reference: turtle_common.c:79-226)."""
+        out: List[str] = []
+        i = 0
+        n = len(raw)
+        while i < n:
+            c = raw[i]
+            if c == "\n":
+                self.line += 1
+            if c != "\\":
+                out.append(c)
+                i += 1
+                continue
+            if i + 1 >= n:
+                raise ParseError("\\ at end of string", self.line)
+            e = raw[i + 1]
+            if e in "nrtbf":
+                out.append({"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}[e])
+                i += 2
+            elif e == "\\" or e == '"' or e == "'" or e in _RESERVED_ESCAPES:
+                out.append(e)
+                i += 2
+            elif e in "uU":
+                ulen = 4 if e == "u" else 8
+                hexs = raw[i + 2 : i + 2 + ulen]
+                if len(hexs) < ulen or any(h not in _HEX for h in hexs):
+                    raise ParseError(
+                        "Turtle string error - illegal hex digit in Unicode escape",
+                        self.line,
+                    )
+                cp = int(hexs, 16)
+                if cp > 0x10FFFF or cp in (0xFFFE, 0xFFFF):
+                    raise ParseError(
+                        "illegal Unicode character #x%X" % cp, self.line
+                    )
+                out.append(chr(cp))
+                i += 2 + ulen
+            else:
+                raise ParseError(
+                    "Turtle string error - illegal escape \\%s" % e, self.line
+                )
+        return "".join(out)
+
+    def _read_string(self) -> str:
+        """Read a short or long string at a quote char; returns the value."""
+        q = self.text[self.pos]
+        n = len(self.text)
+        if self.text[self.pos : self.pos + 3] == q * 3:
+            # long string
+            self.pos += 3
+            start = self.pos
+            while True:
+                idx = self.text.find(q * 3, self.pos)
+                if idx < 0:
+                    raise ParseError(
+                        "End of file in middle of %slit%s" % (q * 3, q * 3),
+                        self.line,
+                    )
+                # count preceding backslashes to see if first quote escaped
+                bs = 0
+                j = idx - 1
+                while j >= start and self.text[j] == "\\":
+                    bs += 1
+                    j -= 1
+                if bs % 2 == 0:
+                    # the string ends at the FIRST unescaped triple-quote
+                    # (flex maximal munch: the 3-char terminator rule beats
+                    # the 1-char quote chunk rule) — a 4th quote is a new
+                    # token, exactly like the reference lexer
+                    raw = self.text[start:idx]
+                    self.pos = idx + 3
+                    return self._unescape_string(raw, allow_newline=True)
+                self.pos = idx + 1
+        # short string
+        self.pos += 1
+        out_start = self.pos
+        while True:
+            if self.pos >= n:
+                raise ParseError("EOF inside string", self.line)
+            c = self.text[self.pos]
+            if c in "\r\n":
+                raise ParseError("newline inside short string", self.line)
+            if c == "\\":
+                if self.pos + 1 < n and self.text[self.pos + 1] in "\r\n":
+                    raise ParseError("escaped newline in short string", self.line)
+                self.pos += 2
+                continue
+            if c == q:
+                raw = self.text[out_start : self.pos]
+                self.pos += 1
+                return self._unescape_string(raw, allow_newline=False)
+            self.pos += 1
+
+    def _read_langtag(self) -> str:
+        """LANGTAG body after '@' (turtle_lexer.l:193)."""
+        n = len(self.text)
+        start = self.pos
+        while self.pos < n and self.text[self.pos].isascii() and self.text[
+            self.pos
+        ].isalpha():
+            self.pos += 1
+        if self.pos == start:
+            raise ParseError("missing language tag after @", self.line)
+        while self.pos < n and self.text[self.pos] in "-_":
+            j = self.pos + 1
+            k = j
+            while k < n and self.text[k].isascii() and self.text[k].isalnum():
+                k += 1
+            if k == j:
+                break
+            self.pos = k
+        return self.text[start : self.pos]
+
+    def _scan_name(self) -> str:
+        """Scan a qname/keyword word token (QNAME / PN_PREFIX / keyword).
+
+        Returns the raw token text (escapes unexpanded). Grammar:
+        turtle_lexer.l:196-200 — dots allowed interior only; ':' allowed in
+        and at the end of the local part; PLX = %HH | \\<reserved>.
+        """
+        n = len(self.text)
+        start = self.pos
+        while self.pos < n:
+            c = self.text[self.pos]
+            if _is_pn_chars(c) or c in ".:":
+                self.pos += 1
+            elif c == "%":
+                if (
+                    self.pos + 2 < n
+                    and self.text[self.pos + 1] in _HEX
+                    and self.text[self.pos + 2] in _HEX
+                ):
+                    self.pos += 3
+                else:
+                    break
+            elif c == "\\":
+                if self.pos + 1 < n and self.text[self.pos + 1] in _RESERVED_ESCAPES:
+                    self.pos += 2
+                else:
+                    break
+            else:
+                break
+        tok = self.text[start : self.pos]
+        # dots cannot end a name token — give them back
+        while tok.endswith(".") and not tok.endswith("\\."):
+            tok = tok[:-1]
+            self.pos -= 1
+        # token-shape checks from the flex QNAME macro: the prefix part must
+        # start with PN_CHARS_BASE; the local part may not start with '-'
+        # or '.' (turtle_lexer.l:197-198)
+        if ":" in tok:
+            prefix, local = tok.split(":", 1)
+            if prefix and not _is_pn_chars_base(prefix[0]):
+                raise ParseError("syntax error at '%s'" % tok, self.line)
+            if local[:1] in ("-", "."):
+                raise ParseError("syntax error at '%s'" % tok, self.line)
+        return tok
+
+    def _expand_qname(self, tok: str) -> str:
+        """Expand a QNAME token to a URI (reference: raptor_qname.c:467,
+        escape expansion turtle_common.c:246-340)."""
+        # expand backslash escapes first, like the reference
+        out: List[str] = []
+        i = 0
+        n = len(tok)
+        while i < n:
+            c = tok[i]
+            if c == "\\" and i + 1 < n:
+                out.append(tok[i + 1])
+                i += 2
+            else:
+                out.append(c)
+                i += 1
+        name = "".join(out)
+
+        if name.startswith(":"):
+            prefix, local = None, name[1:]
+        elif ":" in name:
+            prefix, local = name.split(":", 1)
+        else:
+            raise ParseError("syntax error at '%s'" % name, self.line)
+
+        if prefix is None:
+            ns_uri = self.default_ns
+        else:
+            ns_uri = self.ns.get(prefix)
+        if ns_uri is None:
+            raise ParseError(
+                'The namespace prefix in "%s" was not declared.' % name, self.line
+            )
+        return ns_uri + local
+
+
+    # ----- grammar --------------------------------------------------------
+
+    def _statement(self) -> None:
+        c = self._peek()
+        if c == "@":
+            nxt = self.text[self.pos + 1 : self.pos + 8]
+            if nxt.startswith("prefix") and not (
+                len(nxt) > 6 and (nxt[6].isalnum() or nxt[6] in "-_")
+            ):
+                self.pos += 7
+                self._prefix_directive(require_dot=True)
+                return
+            if nxt.startswith("base") and not (
+                len(nxt) > 4 and (nxt[4].isalnum() or nxt[4] in "-_")
+            ):
+                self.pos += 5
+                self._base_directive(require_dot=True)
+                return
+            raise ParseError("syntax error at '@'", self.line)
+
+        if c == "{":
+            self._graph_block(None)
+            return
+
+        # word-shaped: could be SPARQL PREFIX/BASE, qname subject, or
+        # a TriG graph name
+        if self._looks_like_sparql_directive("prefix"):
+            self._prefix_directive(require_dot=False)
+            return
+        if self._looks_like_sparql_directive("base"):
+            self._base_directive(require_dot=False)
+            return
+
+        # TriG graph forms. The reference grammar supports
+        # '(iri|qname) ='? { ... }' and bare '{ ... }'
+        # (turtle_parser.y:229-285); we additionally support the W3C TriG
+        # 'GRAPH label' keyword form and blank-node graph labels, which the
+        # reference's own imported W3C suite (trig-kw-graph-*,
+        # *_blank_node_graph) expects.
+        if self.trig:
+            if self._looks_like_sparql_directive("graph"):
+                save_pos, save_line = self.pos, self.line
+                self.pos += 5
+                self._skip_ws()
+                name = self._graph_label()
+                if name is not None:
+                    self._skip_ws()
+                    if self._peek() != "{":
+                        raise ParseError(
+                            "expected '{' after GRAPH label", self.line
+                        )
+                    self._graph_block(name)
+                    return
+                self.pos, self.line = save_pos, save_line
+            save_pos, save_line = self.pos, self.line
+            name = self._try_graph_name()
+            if name is not None:
+                self._graph_block(name)
+                return
+            self.pos, self.line = save_pos, save_line
+
+        self._triples()
+        self._skip_ws()
+        if self._peek() != ".":
+            raise ParseError(
+                "syntax error: expected '.' at %r" % self._peek(), self.line
+            )
+        self.pos += 1
+
+    def _looks_like_sparql_directive(self, word: str) -> bool:
+        n = len(self.text)
+        end = self.pos + len(word)
+        if self.text[self.pos : end].lower() != word:
+            return False
+        if end < n:
+            c = self.text[end]
+            if _is_pn_chars(c) or c in ".:%\\":
+                return False
+        return True
+
+    def _prefix_directive(self, require_dot: bool) -> None:
+        self.pos += 0 if require_dot else 6
+        self._skip_ws()
+        # IDENTIFIER: PN_PREFIX? ':'
+        tok = self._scan_name()
+        if not tok.endswith(":"):
+            raise ParseError("expected prefix identifier ending ':'", self.line)
+        prefix = tok[:-1]
+        self._skip_ws()
+        if self._peek() != "<":
+            raise ParseError("expected <URI> in @prefix", self.line)
+        uri = self._read_iri()
+        self._skip_ws()
+        if require_dot:
+            self._expect(".")
+        if prefix == "":
+            self.default_ns = uri
+        else:
+            self.ns[prefix] = uri
+
+    def _base_directive(self, require_dot: bool) -> None:
+        if not require_dot:
+            self.pos += 4
+        self._skip_ws()
+        if self._peek() != "<":
+            raise ParseError("expected <URI> in @base", self.line)
+        uri = self._read_iri()
+        self._skip_ws()
+        if require_dot:
+            self._expect(".")
+        self.base = uri
+
+    def _graph_label(self) -> Optional[str]:
+        """Scan a graph label: iri | qname | '_:label' | '[]' (anon)."""
+        c = self._peek()
+        if c == "<":
+            return self._read_iri()
+        if self.text[self.pos : self.pos + 2] == "_:":
+            return "_:" + self._read_bnode_label()
+        if c == "[":
+            save = self.pos
+            self.pos += 1
+            self._skip_ws()
+            if self._peek() == "]":
+                self.pos += 1
+                return "_:" + self._genid()
+            self.pos = save
+            return None
+        if _is_pn_chars_base(c) or c == ":":
+            tok = self._scan_name()
+            if ":" not in tok:
+                return None
+            return self._expand_qname(tok)
+        return None
+
+    def _try_graph_name(self) -> Optional[str]:
+        """Try to scan 'label ws* =? ws* {'; None if not a graph head."""
+        try:
+            name = self._graph_label()
+        except ParseError:
+            return None
+        if name is None:
+            return None
+        save = self.pos
+        self._skip_ws()
+        if self._peek() == "=":
+            self.pos += 1
+            self._skip_ws()
+        if self._peek() == "{":
+            return name
+        self.pos = save
+        return None
+
+    def _graph_block(self, name: Optional[str]) -> None:
+        if not self.trig:
+            raise ParseError("{ ... } is not allowed in Turtle", self.line)
+        self._skip_ws()
+        self._expect("{")
+        self.graph = name
+        try:
+            while True:
+                self._skip_ws()
+                if self._peek() == "}":
+                    self.pos += 1
+                    break
+                if self.pos >= len(self.text):
+                    raise ParseError("EOF inside { ... }", self.line)
+                self._triples()
+                self._skip_ws()
+                if self._peek() == ".":
+                    self.pos += 1
+                elif self._peek() != "}":
+                    raise ParseError(
+                        "syntax error: expected '.' or '}' at %r" % self._peek(),
+                        self.line,
+                    )
+        finally:
+            self.graph = None
+
+    def _triples(self) -> None:
+        c = self._peek()
+        if c == "[":
+            # blankNodePropertyList subject; predicateObjectList optional
+            subj = self._bnode_property_list()
+            self._skip_ws()
+            if self._peek() not in ".}" and self.pos < len(self.text):
+                self._predicate_object_list(subj)
+        else:
+            subj = self._subject()
+            self._skip_ws()
+            self._predicate_object_list(subj)
+
+    def _subject(self) -> str:
+        c = self._peek()
+        if not c:
+            raise ParseError("unexpected end of input (expected subject)", self.line)
+        if c == "<":
+            return self._read_iri()
+        if c == "(":
+            return self._collection()
+        if self.text[self.pos : self.pos + 2] == "_:":
+            return "_:" + self._read_bnode_label()
+        if _is_pn_chars_base(c) or c == ":" or ("0" <= c <= "9") or c == "%":
+            tok = self._scan_name()
+            if ":" not in tok.replace("\\:", ""):
+                raise ParseError("syntax error at '%s'" % (tok or c), self.line)
+            return self._expand_qname(tok)
+        raise ParseError("syntax error at %r (expected subject)" % c, self.line)
+
+    def _read_bnode_label(self) -> str:
+        assert self.text[self.pos : self.pos + 2] == "_:"
+        self.pos += 2
+        n = len(self.text)
+        start = self.pos
+        if self.pos < n and (
+            _is_pn_chars_base(self.text[self.pos])
+            or self.text[self.pos] == "_"
+            or "0" <= self.text[self.pos] <= "9"
+        ):
+            self.pos += 1
+        else:
+            raise ParseError("bad blank node label", self.line)
+        while self.pos < n and (_is_pn_chars(self.text[self.pos]) or self.text[self.pos] == "."):
+            self.pos += 1
+        label = self.text[start : self.pos]
+        while label.endswith("."):
+            label = label[:-1]
+            self.pos -= 1
+        return label
+
+    def _verb(self) -> str:
+        c = self._peek()
+        if c == "<":
+            return self._read_iri()
+        if _is_pn_chars_base(c) or c == ":":
+            tok = self._scan_name()
+            if tok == "a":
+                return RDF_TYPE
+            if ":" not in tok.replace("\\:", ""):
+                raise ParseError("syntax error at '%s'" % tok, self.line)
+            return self._expand_qname(tok)
+        raise ParseError("syntax error at %r (expected predicate)" % c, self.line)
+
+    def _predicate_object_list(self, subj: str) -> None:
+        while True:
+            pred = self._verb()
+            self._skip_ws()
+            self._object_list(subj, pred)
+            self._skip_ws()
+            if self._peek() != ";":
+                return
+            while self._peek() == ";":
+                self.pos += 1
+                self._skip_ws()
+            c = self._peek()
+            if c in ".]}" or self.pos >= len(self.text):
+                return
+
+    def _object_list(self, subj: str, pred: str) -> None:
+        while True:
+            kind, lex, dt, lang = self._object()
+            self._emit(subj, pred, kind, lex, dt, lang)
+            self._skip_ws()
+            if self._peek() != ",":
+                return
+            self.pos += 1
+            self._skip_ws()
+
+    def _object(self) -> Tuple[int, str, Optional[str], Optional[str]]:
+        c = self._peek()
+        if not c:
+            raise ParseError("unexpected end of input (expected object)", self.line)
+        if c == "<":
+            return (KIND_URI, self._read_iri(), None, None)
+        if c == "(":
+            node = self._collection()
+            if node.startswith("_:"):
+                return (KIND_BLANK, node[2:], None, None)
+            return (KIND_URI, node, None, None)
+        if c == "[":
+            node = self._bnode_property_list()
+            return (KIND_BLANK, node[2:], None, None)
+        if self.text[self.pos : self.pos + 2] == "_:":
+            return (KIND_BLANK, self._read_bnode_label(), None, None)
+        if c in "\"'":
+            return self._literal()
+        if c in "+-.0123456789":
+            m = _NUM_RE.match(self.text, self.pos)
+            if not m:
+                raise ParseError("syntax error at %r" % c, self.line)
+            lex = m.group(0)
+            self.pos = m.end()
+            if "e" in lex or "E" in lex:
+                dt = XSD_DOUBLE
+            elif "." in lex:
+                dt = XSD_DECIMAL
+            else:
+                dt = XSD_INTEGER
+            return (KIND_LITERAL, lex, dt, None)
+        if _is_pn_chars_base(c) or c == ":":
+            tok = self._scan_name()
+            if tok == "true" or tok == "false":
+                return (KIND_LITERAL, tok, XSD_BOOLEAN, None)
+            if ":" not in tok.replace("\\:", ""):
+                raise ParseError("syntax error at '%s'" % (tok or c), self.line)
+            return (KIND_URI, self._expand_qname(tok), None, None)
+        raise ParseError("syntax error at %r (expected object)" % c, self.line)
+
+    def _literal(self) -> Tuple[int, str, Optional[str], Optional[str]]:
+        lex = self._read_string()
+        lang: Optional[str] = None
+        dt: Optional[str] = None
+        if self._peek() == "@":
+            self.pos += 1
+            lang = self._read_langtag()
+        if self.text[self.pos : self.pos + 2] == "^^":
+            self.pos += 2
+            if lang is not None:
+                raise ParseError(
+                    "Language not allowed with datatyped literal", self.line
+                )
+            self._skip_ws()
+            c = self._peek()
+            if c == "<":
+                dt = self._read_iri()
+            elif _is_pn_chars_base(c) or c == ":":
+                tok = self._scan_name()
+                if ":" not in tok.replace("\\:", ""):
+                    raise ParseError("syntax error at '%s'" % tok, self.line)
+                dt = self._expand_qname(tok)
+            else:
+                raise ParseError("expected datatype URI after ^^", self.line)
+        lex, dt, lang = make_literal(lex, dt, lang)
+        return (KIND_LITERAL, lex, dt, lang)
+
+    def _bnode_property_list(self) -> str:
+        """'[' predicateObjectList? ']' -> '_:genidN'."""
+        self._expect("[")
+        node = "_:" + self._genid()
+        self._skip_ws()
+        if self._peek() == "]":
+            self.pos += 1
+            return node
+        self._predicate_object_list(node)
+        self._skip_ws()
+        self._expect("]")
+        return node
+
+    def _collection(self) -> str:
+        """'(' object* ')' -> rdf:first/rest chain head or rdf:nil.
+
+        The reference builds the chain tail-first (turtle_parser.y:1157-1270);
+        chain shape is identical, node numbering may differ (comparison is
+        structural).
+        """
+        self._expect("(")
+        items: List[Tuple[int, str, Optional[str], Optional[str]]] = []
+        while True:
+            self._skip_ws()
+            if self._peek() == ")":
+                self.pos += 1
+                break
+            if self.pos >= len(self.text):
+                raise ParseError("EOF inside collection", self.line)
+            items.append(self._object())
+        if not items:
+            return RDF_NIL
+        nodes = ["_:" + self._genid() for _ in items]
+        for k, (kind, lex, dt, lang) in enumerate(items):
+            self._emit(nodes[k], RDF_FIRST, kind, lex, dt, lang)
+            if k + 1 < len(nodes):
+                self._emit(nodes[k], RDF_REST, KIND_BLANK, nodes[k + 1][2:], None, None)
+            else:
+                self._emit(nodes[k], RDF_REST, KIND_URI, RDF_NIL, None, None)
+        return nodes[0]
+
+    def _emit(
+        self,
+        subj: str,
+        pred: str,
+        kind: int,
+        lex: str,
+        dt: Optional[str],
+        lang: Optional[str],
+    ) -> None:
+        self.triples.append(Triple(subj, pred, kind, lex, dt, lang, self.graph))
+
+
+def parse_document(
+    text: str,
+    base_uri: Optional[str] = None,
+    trig: bool = False,
+) -> Tuple[List[Triple], List[dict]]:
+    """Parse a Turtle (or TriG) document -> (triples, error records)."""
+    return TurtleParser(base_uri=base_uri, trig=trig).parse(text)

@@ -1,0 +1,180 @@
+"""URI parsing and relative-reference resolution.
+
+Re-expresses the reference's RFC2396/3986 handling
+(dajobe/raptor: src/raptor_rfc2396.c:70-199 component split, :316-470
+path normalization, :495-800 resolution) — which differs from a strict
+RFC 3986 ``remove_dot_segments`` in corner cases (e.g. paths that climb
+above root keep their ``..`` components), so we match it rather than the
+RFC.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+
+class UriDetail(NamedTuple):
+    scheme: Optional[str]
+    authority: Optional[str]
+    path: Optional[str]
+    query: Optional[str]
+    fragment: Optional[str]
+
+    @property
+    def is_hierarchical(self) -> bool:
+        return self.path is not None and self.path.startswith("/")
+
+
+def _scheme_start(c: str) -> bool:
+    return ("A" <= c <= "Z") or ("a" <= c <= "z")
+
+
+def _scheme_char(c: str) -> bool:
+    return _scheme_start(c) or ("0" <= c <= "9") or c in "+-."
+
+
+def uri_parse(s: str) -> UriDetail:
+    """Split a URI string into components (reference: raptor_new_uri_detail)."""
+    scheme = authority = path = query = fragment = None
+    i = 0
+    n = len(s)
+    if n and _scheme_start(s[0]):
+        j = 1
+        while j < n and _scheme_char(s[j]):
+            j += 1
+        if j < n and s[j] == ":":
+            scheme = s[:j]
+            i = j + 1
+    if i + 1 < n and s[i] == "/" and s[i + 1] == "/":
+        j = i + 2
+        while j < n and s[j] not in "/?#":
+            j += 1
+        authority = s[i + 2 : j]
+        i = j
+    if i < n and s[i] not in "?#":
+        j = i
+        while j < n and s[j] not in "?#":
+            j += 1
+        path = s[i:j]
+        i = j
+    if i < n and s[i] == "?":
+        j = i + 1
+        while j < n and s[j] != "#":
+            j += 1
+        query = s[i + 1 : j]
+        i = j
+    if i < n and s[i] == "#":
+        fragment = s[i + 1 :]
+    return UriDetail(scheme, authority, path, query, fragment)
+
+
+def normalize_path(path: str) -> str:
+    """Dot-segment removal (reference: raptor_uri_normalize_path).
+
+    Removes "./" components and "<component>/../" pairs, but keeps ".."
+    components that climb beyond the root (e.g. "/foo/../.." -> "/..").
+    """
+    # remove all "./" components and a trailing "."
+    comps = path.split("/")
+    comps = [c for i, c in enumerate(comps) if not (c == "." and i < len(comps) - 1)]
+    if comps and comps[-1] == ".":
+        comps[-1] = ""
+    path = "/".join(comps)
+
+    # remove "<component>/../" (slash-terminated) where <component> is not
+    # ".."; iterate to fixpoint like the reference's restart-scan
+    changed = True
+    while changed:
+        changed = False
+        comps = path.split("/")
+        for k in range(len(comps) - 2):
+            if comps[k + 1] == ".." and comps[k] not in ("..", ""):
+                del comps[k : k + 2]
+                path = "/".join(comps)
+                changed = True
+                break
+
+    # remove "<component>/.." at the very end of the path (the reference
+    # applies this even when <component> is itself "..", truncating after
+    # the preceding slash)
+    comps = path.split("/")
+    if len(comps) >= 2 and comps[-1] == ".." and comps[-2] != "":
+        comps[-2:] = [""]
+        path = "/".join(comps)
+    return path
+
+
+def resolve_uri(base_uri: Optional[str], reference_uri: str) -> str:
+    """Resolve @reference_uri against @base_uri.
+
+    Mirrors raptor_uri_resolve_uri_reference; returns '' on failure
+    (e.g. relative reference with no base).
+    """
+    ref = uri_parse(reference_uri)
+
+    # "" or "#frag" same-document reference
+    if (
+        ref.scheme is None
+        and ref.authority is None
+        and ref.path is None
+        and ref.query is None
+    ):
+        if base_uri is None:
+            return ""
+        base_nofrag = base_uri.split("#", 1)[0]
+        if ref.fragment is not None:
+            return base_nofrag + "#" + ref.fragment
+        return base_nofrag
+
+    if ref.scheme is not None:
+        scheme: Optional[str] = ref.scheme
+        authority = ref.authority
+        path = normalize_path(ref.path or "")
+        query = ref.query
+        fragment = ref.fragment
+        return _unsplit(scheme, authority, path, query, fragment)
+
+    if base_uri is None:
+        return ""
+    base = uri_parse(base_uri)
+    scheme = base.scheme
+
+    if ref.authority is not None:
+        return _unsplit(scheme, ref.authority, ref.path or "", ref.query, ref.fragment)
+
+    authority = base.authority
+
+    if (ref.path is not None and ref.path.startswith("/")) or not base.is_hierarchical:
+        path = normalize_path(ref.path or "")
+        return _unsplit(scheme, authority, path, ref.query, ref.fragment)
+
+    # relative path merge
+    base_path = base.path if base.path is not None else "/"
+    if ref.path is None:
+        merged = base_path
+    else:
+        slash = base_path.rfind("/")
+        merged = (base_path[: slash + 1] if slash >= 0 else "") + ref.path
+    path = normalize_path(merged)
+    return _unsplit(scheme, authority, path, ref.query, ref.fragment)
+
+
+def _unsplit(
+    scheme: Optional[str],
+    authority: Optional[str],
+    path: Optional[str],
+    query: Optional[str],
+    fragment: Optional[str],
+) -> str:
+    out = []
+    if scheme is not None:
+        out.append(scheme + ":")
+    if authority is not None:
+        out.append("//" + authority)
+    if path:
+        out.append(path)
+    if query is not None:
+        out.append("?" + query)
+    if fragment is not None:
+        out.append("#" + fragment)
+    return "".join(out)
