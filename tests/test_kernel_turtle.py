@@ -59,11 +59,11 @@ def test_bad_files_error(suite):
     assert not passes, passes
 
 
-def _golden(suite_dir: pathlib.Path, name: str):
+def _golden(suite_dir: pathlib.Path, name: str, is_nquads=None):
     gold_path = suite_dir / name
-    gold, gerrs = NT.parse_document(
-        _read(gold_path), is_nquads=name.endswith(".nq")
-    )
+    if is_nquads is None:
+        is_nquads = name.endswith(".nq")
+    gold, gerrs = NT.parse_document(_read(gold_path), is_nquads=is_nquads)
     assert not gerrs, (name, gerrs)
     return gold
 
@@ -129,7 +129,9 @@ def test_legacy_trig_eval_vs_reference_output():
         if errs:
             fails.append((f, "errors"))
             continue
-        gold = _golden(REF_TESTS / "trig", f.rsplit(".", 1)[0] + ".out")
+        gold = _golden(
+            REF_TESTS / "trig", f.rsplit(".", 1)[0] + ".out", is_nquads=True
+        )
         if not graphs_isomorphic(triples, gold):
             fails.append((f, "not isomorphic"))
     assert not fails, fails
