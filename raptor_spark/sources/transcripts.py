@@ -1,0 +1,275 @@
+"""Deterministic synthetic transcript tables.
+
+The engine's input shape (per BASELINE.json ``input_hint``) is an
+Iceberg-style table
+``transcripts(conv_id, turn_idx, role, text, tool, ts)`` — multi-turn
+conversations whose concatenated ``text`` (in ``turn_idx`` order) is an RDF
+document. Two generators:
+
+- :func:`tpch_transcripts` — RDF-izes the driver's TPC-H-ish parquet into
+  per-order conversations, in a deterministic mix of N-Triples / Turtle /
+  N-Quads / TriG syntax keyed on ``o_orderkey % 10`` (SQL-reproducible so
+  a DuckDB oracle can reconstruct the expected triples). Built entirely
+  from native column expressions — no Python row loop, no driver collect —
+  so synthesis itself scales to the full cluster.
+
+- :func:`fixture_transcripts` — embeds the reference's W3C conformance
+  fixtures, one document per conversation, chunked at line boundaries
+  (used by the pytest conformance harness).
+
+Per-turn text equality invariant: concatenating ``text`` over ``turn_idx``
+order reproduces the document byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EX_NS = "http://ex.org/ns#"
+ORDER_NS = "http://ex.org/order/"
+CUST_NS = "http://ex.org/customer/"
+PART_NS = "http://ex.org/part/"
+GRAPH_NS = "http://ex.org/graph/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+
+# o_orderkey % 10 -> document syntax (deterministic and SQL-reproducible)
+FORMAT_BUCKETS = {
+    "ntriples": (0, 1, 2, 3, 4, 5),
+    "turtle": (6, 7),
+    "nquads": (8,),
+    "trig": (9,),
+}
+
+
+def _format_col(orderkey):
+    b = F.pmod(orderkey, F.lit(10))
+    return (
+        F.when(b <= 5, F.lit("ntriples"))
+        .when(b <= 7, F.lit("turtle"))
+        .when(b == 8, F.lit("nquads"))
+        .otherwise(F.lit("trig"))
+    )
+
+
+def tpch_transcripts(
+    spark: SparkSession, sf_dir: str, max_orders: Optional[int] = None
+) -> DataFrame:
+    """Synthesize transcripts(conv_id, turn_idx, role, text, tool, ts).
+
+    One conversation per order; the document encodes the order header and
+    its lineitems as RDF statements (3 header triples + 3 per lineitem).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if max_orders is not None:
+        orders = orders.filter(F.col("o_orderkey") <= max_orders)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    k = F.col("o_orderkey")
+    fmt = _format_col(k)
+    graph_uri = F.concat(F.lit("<" + GRAPH_NS), k, F.lit(">"))
+
+    subj = F.concat(F.lit("<" + ORDER_NS), k, F.lit(">"))
+    cust = F.concat(F.lit("<" + CUST_NS), F.col("o_custkey"), F.lit(">"))
+
+    def nt(pred: str, obj):
+        return F.concat(subj, F.lit(" <" + EX_NS + pred + "> "), obj)
+
+    # header lines in each syntax family
+    hdr_nt = F.array(
+        nt("status", F.concat(F.lit('"'), F.col("o_orderstatus"), F.lit('"'))),
+        nt("priority", F.concat(F.lit('"'), F.col("o_orderpriority"), F.lit('"'))),
+        nt("customer", cust),
+    )
+    hdr_ttl = F.array(
+        F.concat(
+            F.lit("ord:"),
+            k,
+            F.lit(' ex:status "'),
+            F.col("o_orderstatus"),
+            F.lit('" ;'),
+        ),
+        F.concat(F.lit('  ex:priority "'), F.col("o_orderpriority"), F.lit('" ;')),
+        F.concat(F.lit("  ex:customer "), cust, F.lit(" .")),
+    )
+
+    # lineitem lines (grouped per order, order stable by linenumber)
+    li = lineitem.select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        F.col("l_quantity").cast("int").alias("qty"),
+    )
+    li_subj = F.concat(F.lit("<" + ORDER_NS), F.col("k"), F.lit(">"))
+    # linenumber alone is NOT unique per order in the synthetic data; the
+    # (ln, partkey, qty) triplet is — and stays SQL-reproducible for oracles
+    bn = F.concat(
+        F.lit("_:li"), F.col("ln"), F.lit("p"), F.col("pk"), F.lit("q"), F.col("qty")
+    )
+    li_nt = F.array(
+        F.concat(li_subj, F.lit(" <" + EX_NS + "item> "), bn, F.lit(" .")),
+        F.concat(
+            bn, F.lit(" <" + EX_NS + "part> <" + PART_NS), F.col("pk"), F.lit("> .")
+        ),
+        F.concat(
+            bn,
+            F.lit(" <" + EX_NS + 'qty> "'),
+            F.col("qty"),
+            F.lit('"^^<' + XSD_INT + "> ."),
+        ),
+    )
+    li_ttl = F.array(
+        F.concat(F.lit("ord:"), F.col("k"), F.lit(" ex:item "), bn, F.lit(" .")),
+        F.concat(
+            bn,
+            F.lit(" ex:part <" + PART_NS),
+            F.col("pk"),
+            F.lit("> ; ex:qty "),
+            F.col("qty"),
+            F.lit(" ."),
+        ),
+    )
+    li_grouped = (
+        li.select("k", "ln", li_nt.alias("nt_lines"), li_ttl.alias("ttl_lines"))
+        .groupBy("k")
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(ln, nt_lines))), s -> s.nt_lines)")
+            ).alias("li_nt"),
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(ln, ttl_lines))), s -> s.ttl_lines)")
+            ).alias("li_ttl"),
+        )
+    )
+
+    docs = orders.join(li_grouped, orders.o_orderkey == li_grouped.k, "left")
+
+    # strip the ' .' terminator from NT lineitem lines to rebuild NQ lines
+    docs = docs.withColumn(
+        "li_nt_stripped",
+        F.transform(
+            F.coalesce(F.col("li_nt"), F.array().cast("array<string>")),
+            lambda x: F.regexp_replace(x, r" \.$", ""),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+
+    nt_lines = F.concat(
+        F.transform(hdr_nt, lambda x: F.concat(x, F.lit(" ."))),
+        F.coalesce(F.col("li_nt"), empty),
+    )
+    nq_lines = F.transform(
+        F.concat(hdr_nt, F.col("li_nt_stripped")),
+        lambda x: F.concat(x, F.lit(" "), graph_uri, F.lit(" .")),
+    )
+    ttl_body = F.concat(
+        F.array(
+            F.lit("@prefix ex: <" + EX_NS + "> ."),
+            F.lit("@prefix ord: <" + ORDER_NS + "> ."),
+        ),
+        hdr_ttl,
+        F.coalesce(F.col("li_ttl"), empty),
+    )
+    trig_lines = F.concat(
+        F.array(
+            F.lit("@prefix ex: <" + EX_NS + "> ."),
+            F.lit("@prefix ord: <" + ORDER_NS + "> ."),
+            F.concat(graph_uri, F.lit(" {")),
+        ),
+        hdr_ttl,
+        F.coalesce(F.col("li_ttl"), empty),
+        F.array(F.lit("}")),
+    )
+
+    fmt = _format_col(F.col("o_orderkey"))
+    lines = (
+        F.when(fmt == "ntriples", nt_lines)
+        .when(fmt == "turtle", ttl_body)
+        .when(fmt == "nquads", nq_lines)
+        .otherwise(trig_lines)
+    )
+
+    docs = docs.select(
+        F.concat(F.lit("ord-"), F.col("o_orderkey")).alias("conv_id"),
+        F.col("o_orderkey").alias("orderkey"),
+        fmt.alias("tool"),
+        F.col("o_orderdate").alias("base_ts"),
+        lines.alias("lines"),
+    )
+
+    # chunk lines into turns: chunk size 1..5 keyed on the order key
+    chunk = (F.pmod(F.col("orderkey"), F.lit(5)) + F.lit(1)).alias("chunk")
+    docs = docs.withColumn("chunk", chunk)
+    exploded = docs.select(
+        "conv_id",
+        "orderkey",
+        "tool",
+        "base_ts",
+        "chunk",
+        F.posexplode("lines").alias("pos", "line"),
+    )
+    turns = (
+        exploded.withColumn("turn_idx", (F.col("pos") / F.col("chunk")).cast("int"))
+        .groupBy("conv_id", "orderkey", "tool", "base_ts", "turn_idx")
+        .agg(
+            F.concat(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),
+                    "\n",
+                ),
+                F.lit("\n"),
+            ).alias("text")
+        )
+    )
+    roles = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        F.pmod(F.col("turn_idx"), F.lit(3)) + 1,
+    )
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        roles.alias("role"),
+        "text",
+        "tool",
+        (F.col("base_ts") + F.make_interval(secs=F.col("turn_idx"))).alias("ts"),
+    )
+
+
+def fixture_transcripts(
+    spark: SparkSession,
+    files: List[pathlib.Path],
+    formats: List[str],
+    base_uris: List[str],
+    lines_per_turn: int = 3,
+) -> DataFrame:
+    """Embed conformance fixture documents into a transcripts DataFrame.
+
+    One conversation per fixture file; text chunked at line boundaries.
+    Returns transcripts plus a ``base_uri`` column carried per turn (the
+    pipeline's conv_meta equivalent).
+    """
+    rows = []
+    for path, fmt, base_uri in zip(files, formats, base_uris):
+        with open(path, encoding="utf-8", errors="surrogateescape", newline="") as fh:
+            text = fh.read()
+        conv_id = f"{path.parent.name}/{path.name}"
+        parts = text.splitlines(keepends=True)
+        if not parts:
+            parts = [""]
+        for t in range(0, len(parts), lines_per_turn):
+            rows.append(
+                (
+                    conv_id,
+                    t // lines_per_turn,
+                    ("user", "assistant", "tool")[(t // lines_per_turn) % 3],
+                    "".join(parts[t : t + lines_per_turn]),
+                    fmt,
+                    base_uri,
+                )
+            )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, base_uri string"
+    )
