@@ -1,0 +1,790 @@
+"""Operator catalog: (spark query, DuckDB oracle) pairs.
+
+Each entry re-expresses one operator from SURVEY.md §2 (or a training-data
+pipeline operator) over the driver's parquet tables, with an ANSI/DuckDB
+oracle producing identical rows — identical column names, integer/string
+types wherever possible, floats stabilized before comparison.
+
+Conventions:
+- every computed column aliased the same in Spark and SQL;
+- deterministic tie-breaks on every rank/order;
+- no Python UDF in any of these paths — pure column expressions (the only
+  Python stage in the engine is the parse kernel inside kg_* queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# --------------------------------------------------------------------------
+# flagship: whole-engine E2E (transcripts -> reassemble -> parse -> triples)
+# --------------------------------------------------------------------------
+
+
+def q_kg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG-construction pipeline over RDF-ized TPC-H transcripts.
+
+    The oracle reconstructs the expected triple set relationally — this
+    checks reassembly, all four parse kernels, canonicalization, bnode
+    relabeling and dedup end-to-end.
+    """
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    transcripts = tpch_transcripts(spark, sf_dir)
+    triples, _errors = build_graph(transcripts)
+    return triples.select(
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "graph"
+    )
+
+
+_KG_ORACLE = """
+WITH fmt AS (
+  SELECT o_orderkey AS k,
+         o_orderstatus AS st,
+         o_orderpriority AS pr,
+         o_custkey AS c,
+         CASE WHEN o_orderkey % 10 IN (8, 9)
+              THEN 'http://ex.org/graph/' || o_orderkey END AS graph
+  FROM orders
+),
+li AS (
+  SELECT l_orderkey AS k,
+         'ord-' || l_orderkey || '.li' || l_linenumber || 'p' || l_partkey
+             || 'q' || CAST(l_quantity AS INT) AS bn,
+         '_:ord-' || l_orderkey || '.li' || l_linenumber || 'p' || l_partkey
+             || 'q' || CAST(l_quantity AS INT) AS bn_subj,
+         l_partkey AS pk,
+         CAST(l_quantity AS INT) AS qty
+  FROM lineitem
+)
+SELECT 'http://ex.org/order/' || k AS subj,
+       'http://ex.org/ns#status' AS pred,
+       2 AS obj_kind, st AS obj_lex,
+       CAST(NULL AS VARCHAR) AS obj_datatype,
+       CAST(NULL AS VARCHAR) AS obj_lang, graph
+FROM fmt
+UNION ALL
+SELECT 'http://ex.org/order/' || k, 'http://ex.org/ns#priority', 2, pr,
+       NULL, NULL, graph
+FROM fmt
+UNION ALL
+SELECT 'http://ex.org/order/' || k, 'http://ex.org/ns#customer', 1,
+       'http://ex.org/customer/' || c, NULL, NULL, graph
+FROM fmt
+UNION ALL
+SELECT 'http://ex.org/order/' || li.k, 'http://ex.org/ns#item', 4, li.bn,
+       NULL, NULL, fmt.graph
+FROM li JOIN fmt ON li.k = fmt.k
+UNION ALL
+SELECT li.bn_subj, 'http://ex.org/ns#part', 1, 'http://ex.org/part/' || li.pk,
+       NULL, NULL, fmt.graph
+FROM li JOIN fmt ON li.k = fmt.k
+UNION ALL
+SELECT li.bn_subj, 'http://ex.org/ns#qty', 2, CAST(li.qty AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer', NULL, fmt.graph
+FROM li JOIN fmt ON li.k = fmt.k
+"""
+
+
+def q_kg_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error side-channel: count of parse errors (must be zero rows)."""
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    _t, errors = build_graph(tpch_transcripts(spark, sf_dir))
+    return errors.select("conv_id", "error_message")
+
+
+_KG_ERRORS_ORACLE = (
+    "SELECT CAST(NULL AS VARCHAR) AS conv_id, CAST(NULL AS VARCHAR) AS "
+    "error_message WHERE 1 = 0"
+)
+
+
+# --------------------------------------------------------------------------
+# raptor-shaped relational operators over the events/documents tables
+# --------------------------------------------------------------------------
+
+
+def q_reassemble_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn reassembly (window/groupBy form) — the conv_id reassembly
+    operator expressed over events(user_id, ts, event_type)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.col("user_id")).agg(
+        F.concat_ws(
+            "|",
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type)))"
+                ", s -> s.event_type)"
+            ),
+        ).alias("session"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+_REASSEMBLE_ORACLE = """
+SELECT user_id,
+       string_agg(event_type, '|' ORDER BY ts, event_id) AS session,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+def q_ordinal_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdf:li -> rdf:_N container ordinals
+    (reference: src/raptor_rdfxml.c:2503-2504) as a row_number window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("ordinal"),
+    )
+
+
+_ORDINAL_ORACLE = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ordinal
+FROM events
+"""
+
+
+def q_collection_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection rdf:rest chain wiring (reference:
+    src/turtle_parser.y:1157-1270) via lead() over ordered members."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.col("event_id").alias("node"),
+        F.coalesce(
+            F.lead("event_id").over(w).cast("string"), F.lit("rdf:nil")
+        ).alias("rest"),
+    )
+
+
+_CHAIN_ORACLE = """
+SELECT user_id, event_id AS node,
+       COALESCE(CAST(LEAD(event_id) OVER (PARTITION BY user_id ORDER BY ts,
+       event_id) AS VARCHAR), 'rdf:nil') AS rest
+FROM events
+"""
+
+
+def q_reify_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reification fan-out: 1 statement -> 4 triples
+    (reference: src/raptor_rdfxml.c:1308-1329) via explode."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") < 1000
+    )
+    stmt = F.concat(F.lit("http://ex.org/stmt/"), F.col("event_id"))
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    pairs = F.array(
+        F.struct(
+            F.lit(rdf + "type").alias("p"), F.lit(rdf + "Statement").alias("o")
+        ),
+        F.struct(
+            F.lit(rdf + "subject").alias("p"),
+            F.concat(F.lit("http://ex.org/user/"), F.col("user_id")).alias("o"),
+        ),
+        F.struct(
+            F.lit(rdf + "predicate").alias("p"),
+            F.concat(F.lit("http://ex.org/event/"), F.col("event_type")).alias("o"),
+        ),
+        F.struct(
+            F.lit(rdf + "object").alias("p"),
+            F.col("event_id").cast("string").alias("o"),
+        ),
+    )
+    ex = ev.select(stmt.alias("stmt"), F.explode(pairs).alias("po"))
+    return ex.select("stmt", F.col("po.p").alias("pred"), F.col("po.o").alias("obj"))
+
+
+_REIFY_ORACLE = """
+WITH e AS (SELECT * FROM events WHERE event_id < 1000)
+SELECT 'http://ex.org/stmt/' || event_id AS stmt,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement' AS obj FROM e
+UNION ALL
+SELECT 'http://ex.org/stmt/' || event_id,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#subject',
+       'http://ex.org/user/' || user_id FROM e
+UNION ALL
+SELECT 'http://ex.org/stmt/' || event_id,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate',
+       'http://ex.org/event/' || event_type FROM e
+UNION ALL
+SELECT 'http://ex.org/stmt/' || event_id,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#object',
+       CAST(event_id AS VARCHAR) FROM e
+"""
+
+
+def q_term_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-tag normalization + xsd:string datatype drop
+    (reference: src/raptor_term.c:194-250) as column expressions."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dt = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit("http://www.w3.org/2001/XMLSchema#string"),
+    ).otherwise(F.lit("http://www.w3.org/2001/XMLSchema#token"))
+    return docs.select(
+        "doc_id",
+        F.translate(F.lower(F.upper(F.col("lang"))), "_", "-").alias("lang_norm"),
+        F.when(
+            dt == "http://www.w3.org/2001/XMLSchema#string", F.lit(None)
+        ).otherwise(dt).alias("datatype"),
+    )
+
+
+_CANON_ORACLE = """
+SELECT doc_id,
+       replace(lower(upper(lang)), '_', '-') AS lang_norm,
+       CASE WHEN doc_id % 2 = 0 THEN NULL
+            ELSE 'http://www.w3.org/2001/XMLSchema#token' END AS datatype
+FROM documents
+"""
+
+
+def q_nt_escape_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-expression N-Triples line builder (serializer fast path,
+    reference escape rules src/raptor_escaped.c:52-154 for the ASCII set)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    esc = F.col("text")
+    for a, b in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]:
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<http://ex.org/doc/"),
+            F.col("doc_id"),
+            F.lit('> <http://ex.org/ns#text> "'),
+            esc,
+            F.lit('" .'),
+        ).alias("nt_line"),
+    )
+
+
+_NT_ESCAPE_ORACLE = r"""
+SELECT doc_id,
+       '<http://ex.org/doc/' || doc_id || '> <http://ex.org/ns#text> "'
+       || replace(replace(replace(replace(replace(text, '\', '\\'), '"', '\"'),
+                  chr(10), '\n'), chr(13), '\r'), chr(9), '\t')
+       || '" .' AS nt_line
+FROM documents
+"""
+
+
+def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntax-guess scoring (reference: src/raptor_guess.c:117-183) as a
+    when/otherwise classifier over content shape."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    body = F.col("props")
+    guess = (
+        F.when(F.ltrim(body).startswith("{"), F.lit("json"))
+        .when(body.rlike(r"^\s*<[^>]*>\s+<[^>]*>"), F.lit("ntriples"))
+        .when(body.rlike(r"(?m)^\s*@prefix"), F.lit("turtle"))
+        .otherwise(F.lit("unknown"))
+    )
+    return ev.select("event_id", guess.alias("fmt"))
+
+
+_GUESS_ORACLE = """
+SELECT event_id,
+       CASE WHEN ltrim(props) LIKE '{%' THEN 'json'
+            WHEN regexp_matches(props, '^\\s*<[^>]*>\\s+<[^>]*>') THEN 'ntriples'
+            WHEN regexp_matches(props, '(?m)^\\s*@prefix') THEN 'turtle'
+            ELSE 'unknown' END AS fmt
+FROM events
+"""
+
+
+def q_uri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URI minting for conversation entities
+    (north-rule operator; reproducible across retries — hash of content,
+    never monotonically_increasing_id)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey"),
+        F.concat(
+            F.lit("http://ex.org/entity/"),
+            F.md5(F.concat(F.lit("cust|"), F.col("c_name"))),
+        ).alias("entity_uri"),
+    )
+
+
+_URI_MINT_ORACLE = """
+SELECT c_custkey,
+       'http://ex.org/entity/' || md5('cust|' || c_name) AS entity_uri
+FROM customer
+"""
+
+
+def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking: mention detection over text, candidate generation
+    via broadcast dictionary join, scoring, best-candidate-per-document
+    (north-star operator). Dictionary = part-name vocabulary."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    vocab = (
+        part.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("prior"))
+    )
+    mentions = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    cand = mentions.join(F.broadcast(vocab), "word").groupBy(
+        "doc_id", "word"
+    ).agg(F.count(F.lit(1)).alias("mentions"), F.min("prior").alias("prior"))
+    scored = cand.withColumn("score", F.col("mentions") * F.col("prior"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("word").alias("entity"), "score")
+    )
+
+
+_ENTITY_LINK_ORACLE = """
+WITH vocab AS (
+  SELECT word, COUNT(*) AS prior
+  FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part) v
+  GROUP BY word
+),
+mentions AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+  FROM documents
+),
+cand AS (
+  SELECT m.doc_id, m.word, COUNT(*) AS mentions, MIN(v.prior) AS prior
+  FROM mentions m JOIN vocab v USING (word)
+  WHERE m.word <> ''
+  GROUP BY m.doc_id, m.word
+),
+scored AS (
+  SELECT doc_id, word, mentions * prior AS score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY mentions * prior DESC, word ASC) AS rk
+  FROM cand
+)
+SELECT doc_id, word AS entity, score FROM scored WHERE rk = 1
+"""
+
+
+def q_serialize_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abbreviating-serializer shape: group statements by subject, sorted
+    (reference: src/raptor_serialize_turtle.c:1388-1455 AVL model) as
+    groupBy + ordered string_agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stmts = ev.select(
+        F.concat(F.lit("u"), F.col("user_id")).alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.col("event_id").alias("obj"),
+    )
+    return stmts.groupBy("subj").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pred, obj))),"
+                " s -> concat(s.pred, ' ', s.obj))"
+            ),
+            " ; ",
+        ).alias("body"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+_SERIALIZE_ORACLE = """
+SELECT 'u' || user_id AS subj,
+       string_agg(event_type || ' ' || event_id, ' ; '
+                  ORDER BY event_type, event_id) AS body,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; representative = min doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy(F.md5(F.col("text")).alias("content_md5")).agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS rep_doc_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(col, n=3):
+    """Word n-gram shingles as an array column (whitespace tokenized)."""
+    toks = F.split(F.trim(col), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: word-3-gram shingles ->
+    4 md5-salted minhash bands -> bucket join on any matching band.
+    Scale path for dedup (no O(n^2) pairs; the band join is the only
+    shuffle and salts spread hot buckets)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+    )
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(4)])
+        ).alias("band"),
+        "sh",
+    ).groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))))
+        .alias("mh")
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+_MINHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+bands AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || '|' || sh)) AS mh
+  FROM sh, UNNEST([0, 1, 2, 3]) AS bb(band)
+  GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification of near-dup candidates: exact overlap
+    of distinct word-3-gram shingle sets over a shingle-inverted index
+    (candidate pairs from shared shingles, never a cross join)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return j.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
+    )
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(floor(common * 1000.0 / (sa.sz + sb.sz - common)) AS BIGINT)
+           AS jaccard_x1000
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, distinct-token ratio, mean token
+    length, repetition flag (integer-stabilized for comparison)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        nd.cast("long").alias("n_distinct"),
+        F.floor(nd * 1000 / n).cast("long").alias("distinct_ratio_x1000"),
+        F.floor((F.length(F.col("text")) - (n - 1)) * 100 / n)
+        .cast("long")
+        .alias("mean_token_len_x100"),
+        (nd * 1000 / n < 400).cast("int").alias("repetitive"),
+    )
+
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS nd
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(floor(nd * 1000.0 / n) AS BIGINT) AS distinct_ratio_x1000,
+       CAST(floor((length(text) - (n - 1)) * 100.0 / n) AS BIGINT)
+           AS mean_token_len_x100,
+       CAST(nd * 1000.0 / n < 400 AS INT) AS repetitive
+FROM t
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over text (n-gram/stopword scoring shape);
+    the synthetic corpus is English-vocab so the interesting part is the
+    scoring plumbing, checked bit-for-bit vs the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    en = (
+        F.size(F.split(text, " the ")) + F.size(F.split(text, " and ")) - 2
+    )
+    es = F.size(F.split(text, " el ")) + F.size(F.split(text, " la ")) - 2
+    return docs.select(
+        "doc_id",
+        en.cast("long").alias("en_hits"),
+        es.cast("long").alias("es_hits"),
+        F.when(en > es, F.lit("en"))
+        .when(es > en, F.lit("es"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
+
+
+_LANGID_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(' ' || text || ' ', ' the '))
+           + len(string_split(' ' || text || ' ', ' and ')) - 2 AS en_hits,
+         len(string_split(' ' || text || ' ', ' el '))
+           + len(string_split(' ' || text || ' ', ' la ')) - 2 AS es_hits
+  FROM documents
+)
+SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits,
+       CAST(es_hits AS BIGINT) AS es_hits,
+       CASE WHEN en_hits > es_hits THEN 'en'
+            WHEN es_hits > en_hits THEN 'es'
+            ELSE 'und' END AS lang_pred
+FROM t
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embedding column: query set =
+    vec_id < 8, ranked among all candidates. Baseline ANN path; the
+    candidate side broadcasts the (tiny) query set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    dots = (
+        emb.alias("c")
+        .crossJoin(F.broadcast(emb.filter(F.col("vec_id") < 8).alias("q")))
+        .filter(F.col("q.vec_id") != F.col("c.vec_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"), F.col("c.embedding"), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(side + ".embedding"), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sim = dot / (norm("q") * norm("c"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    scored = dots.select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        sim.alias("sim"),
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+           FROM embeddings),
+q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding, c.embedding)
+           / (sqrt(list_dot_product(q.embedding, q.embedding))
+              * sqrt(list_dot_product(c.embedding, c.embedding))) AS sim
+  FROM q, e c WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk
+FROM (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM scored) WHERE rk <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN scale path: sign-bit bucket over 4 fixed
+    projection dims, candidates restricted to the same bucket (turns the
+    O(n^2) similarity join into a per-bucket join)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    b = F.lit(0)
+    for i, d in enumerate((0, 7, 19, 31)):
+        b = b + F.when(F.element_at(e, d + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    # materialize the bucket column first so the pair join is a plain
+    # equi-join (shuffle hash / sort-merge), never a BNL cross join
+    bucketed = emb.select("vec_id", b.cast("int").alias("bucket"))
+    a_side = bucketed.alias("a")
+    b_side = bucketed.alias("b")
+    joined = a_side.join(b_side, "bucket").filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    return joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("candidate_pairs")
+    )
+
+
+_ANN_LSH_ORACLE = """
+WITH bucketed AS (
+  SELECT vec_id,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[32] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT CAST(a.bucket AS INT) AS bucket, COUNT(*) AS candidate_pairs
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+GROUP BY a.bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "kg_pipeline": q_kg_pipeline,
+    "kg_parse_errors": q_kg_parse_errors,
+    "reassemble_sessions": q_reassemble_sessions,
+    "ordinal_members": q_ordinal_members,
+    "collection_chain": q_collection_chain,
+    "reify_fanout": q_reify_fanout,
+    "term_canonicalize": q_term_canonicalize,
+    "nt_escape_line": q_nt_escape_line,
+    "format_guess": q_format_guess,
+    "uri_mint": q_uri_mint,
+    "entity_link": q_entity_link,
+    "serialize_grouped": q_serialize_grouped,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLES = {
+    "kg_pipeline": _KG_ORACLE,
+    "kg_parse_errors": _KG_ERRORS_ORACLE,
+    "reassemble_sessions": _REASSEMBLE_ORACLE,
+    "ordinal_members": _ORDINAL_ORACLE,
+    "collection_chain": _CHAIN_ORACLE,
+    "reify_fanout": _REIFY_ORACLE,
+    "term_canonicalize": _CANON_ORACLE,
+    "nt_escape_line": _NT_ESCAPE_ORACLE,
+    "format_guess": _GUESS_ORACLE,
+    "uri_mint": _URI_MINT_ORACLE,
+    "entity_link": _ENTITY_LINK_ORACLE,
+    "serialize_grouped": _SERIALIZE_ORACLE,
+    "dedup_exact": _DEDUP_EXACT_ORACLE,
+    "dedup_minhash": _MINHASH_ORACLE,
+    "dedup_jaccard": _JACCARD_ORACLE,
+    "text_quality": _QUALITY_ORACLE,
+    "text_langid": _LANGID_ORACLE,
+    "doc_fingerprint": _FINGERPRINT_ORACLE,
+    "embedding_topk": _TOPK_ORACLE,
+    "ann_lsh": _ANN_LSH_ORACLE,
+}
