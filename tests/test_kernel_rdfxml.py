@@ -1,0 +1,113 @@
+"""RDF/XML kernel conformance vs the reference's committed suite.
+
+Drives the same automake lists the reference uses
+(tests/rdfxml/Makefile.am: check-rdf / check-bad-rdf / check-bad-nfc-rdf /
+check-warn-rdf / check-assume-rdf / check-scan-rdf): good files must parse
+with no errors (warnings allowed, rapper exit 0/2) and structurally match
+their .out N-Triples goldens; bad files must produce >=1 error.
+"""
+
+import pathlib
+
+import pytest
+
+from raptor_spark.kernel import ntriples as NT
+from raptor_spark.kernel import rdfxml as RX
+from raptor_spark.kernel.compare import graphs_isomorphic
+from raptor_spark.kernel.suites import REF_TESTS, makefile_vars
+
+SUITE = REF_TESTS / "rdfxml"
+BASE_URI = "http://librdf.org/raptor/tests/"
+
+# Documents expat rejects before RDF processing starts (leading-colon
+# attribute name; duplicate attribute through two prefixes of one
+# namespace). The reference keeps the same kind of backend-dependent list
+# for libxml2: RDF_MAYFAIL_XML_TEST_FILES in tests/rdfxml/Makefile.am.
+XFAIL_EXPAT = {"ex-64.rdf", "ex-65.rdf", "bug-650.rdf"}
+
+_SPECIAL_BASE = {
+    "22-rdf-syntax-ns": "http://www.w3.org/1999/02/22-rdf-syntax-ns",
+    "rdfs-namespace": "http://www.w3.org/2000/01/rdf-schema",
+    "rdf-schema": "http://www.w3.org/2000/01/rdf-schema",
+    "owl-schema": "http://www.w3.org/2002/07/owl",
+    "daml-oil": "http://www.daml.org/2001/03/daml+oil",
+    "wine": "http://www.w3.org/TR/owl-guide/wine.rdf",
+}
+
+
+def _base_uri(fname: str) -> str:
+    name = fname.rsplit(".", 1)[0]
+    # the reference's check-scan-rdf uses $name.rdf even for .svg inputs
+    if not fname.endswith(".rdf"):
+        fname = name + ".rdf"
+    return _SPECIAL_BASE.get(name, BASE_URI + fname)
+
+
+def _read_bytes(fname: str) -> bytes:
+    return (SUITE / fname).read_bytes()
+
+
+def _golden(fname: str):
+    name = fname.rsplit(".", 1)[0]
+    with open(SUITE / (name + ".out"), encoding="utf-8", newline="") as fh:
+        gold, gerrs = NT.parse_document(fh.read())
+    assert not gerrs, (fname, gerrs)
+    return gold
+
+
+def _run_good(files, scan=False):
+    fails = []
+    for f in files:
+        if f in XFAIL_EXPAT:
+            continue
+        triples, errs, _warns = RX.parse_document_full(
+            _read_bytes(f), base_uri=_base_uri(f), scan=scan
+        )
+        if errs:
+            fails.append((f, errs[0]["message"]))
+            continue
+        if not graphs_isomorphic(triples, _golden(f)):
+            fails.append((f, "not isomorphic (%d triples)" % len(triples)))
+    return fails
+
+
+def test_rdfxml_good():
+    v = makefile_vars("rdfxml")
+    assert len(v["RDF_TEST_FILES"]) >= 59
+    fails = _run_good(v["RDF_TEST_FILES"])
+    assert not fails, fails
+
+
+def test_rdfxml_warn():
+    """warn-* and bagID files: warnings expected, zero errors, golden match."""
+    v = makefile_vars("rdfxml")
+    files = [f for f in v["RDF_WARN_TEST_FILES"] if not f.startswith("$")]
+    files += v["RDF_BAGID_TEST_FILES"]
+    fails = _run_good(files)
+    assert not fails, fails
+
+
+def test_rdfxml_assume():
+    """Document element other than rdf:RDF taken as a node element
+    (reference: check-assume-rdf)."""
+    v = makefile_vars("rdfxml")
+    fails = _run_good(v["RDF_ASSUME_TEST_FILES"])
+    assert not fails, fails
+
+
+def test_rdfxml_scan():
+    """rdf:RDF embedded in foreign XML, found by scanning
+    (reference: check-scan-rdf with rapper -s)."""
+    v = makefile_vars("rdfxml")
+    fails = _run_good(v["RDF_SCAN_TEST_FILES"], scan=True)
+    assert not fails, fails
+
+
+def test_rdfxml_bad():
+    v = makefile_vars("rdfxml")
+    passes = []
+    for f in v["RDF_BAD_TEST_FILES"] + v["RDF_BAD_NFC_TEST_FILES"]:
+        triples, errs = RX.parse_document(_read_bytes(f), base_uri=_base_uri(f))
+        if not errs:
+            passes.append(f)
+    assert not passes, passes
