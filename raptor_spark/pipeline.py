@@ -29,8 +29,13 @@ def build_graph(
     relabel: bool = True,
     global_dedup: bool = True,
     salt_buckets: int = 0,
+    dedup: bool = True,
 ) -> Tuple[DataFrame, DataFrame]:
-    """transcripts -> (triples, parse_errors)."""
+    """transcripts -> (triples, parse_errors).
+
+    ``dedup=False`` keeps the raw statement stream (the reference's
+    streaming parsers emit duplicates as-is; only the buffered abbrev
+    serializers dedup) — used when comparing against rapper output."""
     extra = ("tool",) + ((base_uri_col,) if base_uri_col else ())
     docs = reassemble(transcripts, extra_cols=extra)
     parsed = parse_documents(docs, base_uri_col=base_uri_col)
@@ -38,9 +43,10 @@ def build_graph(
     errors = errors_of(parsed)
     if relabel:
         triples = relabel_bnodes(triples)
-    triples = dedup_statements(
-        triples, global_dedup=global_dedup, salt_buckets=salt_buckets
-    )
+    if dedup:
+        triples = dedup_statements(
+            triples, global_dedup=global_dedup, salt_buckets=salt_buckets
+        )
     return triples, errors
 
 

@@ -7,8 +7,9 @@ conversations whose concatenated ``text`` (in ``turn_idx`` order) is an RDF
 document. Two generators:
 
 - :func:`tpch_transcripts` — RDF-izes the driver's TPC-H-ish parquet into
-  per-order conversations, in a deterministic mix of N-Triples / Turtle /
-  N-Quads / TriG syntax keyed on ``o_orderkey % 10`` (SQL-reproducible so
+  per-order conversations, in a deterministic mix of N-Triples / RDF/XML /
+  RDF/JSON / Turtle / N-Quads / TriG keyed on ``o_orderkey % 10``
+  (SQL-reproducible so
   a DuckDB oracle can reconstruct the expected triples). Built entirely
   from native column expressions — no Python row loop, no driver collect —
   so synthesis itself scales to the full cluster.
@@ -38,20 +39,44 @@ XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
 
 # o_orderkey % 10 -> document syntax (deterministic and SQL-reproducible)
 FORMAT_BUCKETS = {
-    "ntriples": (0, 1, 2, 3, 4, 5),
+    "ntriples": (0, 1, 2, 3),
+    "rdfxml": (4,),
+    "json": (5,),
     "turtle": (6, 7),
     "nquads": (8,),
     "trig": (9,),
 }
 
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
 
 def _format_col(orderkey):
     b = F.pmod(orderkey, F.lit(10))
     return (
-        F.when(b <= 5, F.lit("ntriples"))
+        F.when(b <= 3, F.lit("ntriples"))
+        .when(b == 4, F.lit("rdfxml"))
+        .when(b == 5, F.lit("json"))
         .when(b <= 7, F.lit("turtle"))
         .when(b == 8, F.lit("nquads"))
         .otherwise(F.lit("trig"))
+    )
+
+
+def _json_term(type_: str, value_col, datatype: str = None):
+    parts = [F.lit('{"type":"%s","value":"' % type_), value_col, F.lit('"')]
+    if datatype:
+        parts += [F.lit(',"datatype":"%s"' % datatype)]
+    parts += [F.lit("}")]
+    return F.concat(*parts)
+
+
+def _json_triple(subj_term, pred: str, obj_term):
+    return F.concat(
+        F.lit('{"subject":'),
+        subj_term,
+        F.lit(',"predicate":{"type":"uri","value":"%s%s"},"object":' % (EX_NS, pred)),
+        obj_term,
+        F.lit("}"),
     )
 
 
@@ -132,16 +157,63 @@ def tpch_transcripts(
             F.lit(" ."),
         ),
     )
+    # bnode label without the "_:" encoding (RDF/XML rdf:nodeID form)
+    bnl = F.concat(
+        F.lit("li"), F.col("ln"), F.lit("p"), F.col("pk"), F.lit("q"), F.col("qty")
+    )
+    li_xml_item = F.array(
+        F.concat(F.lit('<ex:item rdf:nodeID="'), bnl, F.lit('"/>'))
+    )
+    li_xml_node = F.array(
+        F.concat(
+            F.lit('<rdf:Description rdf:nodeID="'),
+            bnl,
+            F.lit('"><ex:part rdf:resource="' + PART_NS),
+            F.col("pk"),
+            F.lit('"/><ex:qty rdf:datatype="' + XSD_INT + '">'),
+            F.col("qty"),
+            F.lit("</ex:qty></rdf:Description>"),
+        )
+    )
+    li_subj_uri = F.concat(F.lit(ORDER_NS), F.col("k"))
+    bn_term = _json_term("bnode", F.concat(F.lit("_:"), bnl))
+    li_json = F.array(
+        _json_triple(_json_term("uri", li_subj_uri), "item", bn_term),
+        _json_triple(
+            bn_term, "part",
+            _json_term("uri", F.concat(F.lit(PART_NS), F.col("pk"))),
+        ),
+        _json_triple(
+            bn_term, "qty", _json_term("literal", F.col("qty"), XSD_INT)
+        ),
+    )
     li_grouped = (
-        li.select("k", "ln", li_nt.alias("nt_lines"), li_ttl.alias("ttl_lines"))
+        li.select(
+            "k",
+            "ln",
+            li_nt.alias("nt_lines"),
+            li_ttl.alias("ttl_lines"),
+            li_xml_item.alias("xml_item_lines"),
+            li_xml_node.alias("xml_node_lines"),
+            li_json.alias("json_lines"),
+        )
         .groupBy("k")
         .agg(
-            F.flatten(
-                F.expr("transform(array_sort(collect_list(struct(ln, nt_lines))), s -> s.nt_lines)")
-            ).alias("li_nt"),
-            F.flatten(
-                F.expr("transform(array_sort(collect_list(struct(ln, ttl_lines))), s -> s.ttl_lines)")
-            ).alias("li_ttl"),
+            *[
+                F.flatten(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(ln, %s))),"
+                        " s -> s.%s)" % (c, c)
+                    )
+                ).alias(a)
+                for c, a in [
+                    ("nt_lines", "li_nt"),
+                    ("ttl_lines", "li_ttl"),
+                    ("xml_item_lines", "li_xml_item"),
+                    ("xml_node_lines", "li_xml_node"),
+                    ("json_lines", "li_json"),
+                ]
+            ]
         )
     )
 
@@ -183,10 +255,62 @@ def tpch_transcripts(
         F.coalesce(F.col("li_ttl"), empty),
         F.array(F.lit("}")),
     )
+    xml_lines = F.concat(
+        F.array(
+            F.lit('<?xml version="1.0"?>'),
+            F.lit(
+                '<rdf:RDF xmlns:rdf="' + RDF_NS + '" xmlns:ex="' + EX_NS + '">'
+            ),
+            F.concat(
+                F.lit('<rdf:Description rdf:about="' + ORDER_NS), k, F.lit('">')
+            ),
+            F.concat(
+                F.lit("<ex:status>"), F.col("o_orderstatus"), F.lit("</ex:status>")
+            ),
+            F.concat(
+                F.lit("<ex:priority>"),
+                F.col("o_orderpriority"),
+                F.lit("</ex:priority>"),
+            ),
+            F.concat(
+                F.lit('<ex:customer rdf:resource="' + CUST_NS),
+                F.col("o_custkey"),
+                F.lit('"/>'),
+            ),
+        ),
+        F.coalesce(F.col("li_xml_item"), empty),
+        F.array(F.lit("</rdf:Description>")),
+        F.coalesce(F.col("li_xml_node"), empty),
+        F.array(F.lit("</rdf:RDF>")),
+    )
+    order_term = _json_term("uri", F.concat(F.lit(ORDER_NS), k))
+    json_all = F.concat(
+        F.array(
+            _json_triple(
+                order_term, "status", _json_term("literal", F.col("o_orderstatus"))
+            ),
+            _json_triple(
+                order_term,
+                "priority",
+                _json_term("literal", F.col("o_orderpriority")),
+            ),
+            _json_triple(
+                order_term,
+                "customer",
+                _json_term("uri", F.concat(F.lit(CUST_NS), F.col("o_custkey"))),
+            ),
+        ),
+        F.coalesce(F.col("li_json"), empty),
+    )
+    json_lines = F.array(
+        F.lit('{"triples":['), F.array_join(json_all, ","), F.lit("]}")
+    )
 
     fmt = _format_col(F.col("o_orderkey"))
     lines = (
         F.when(fmt == "ntriples", nt_lines)
+        .when(fmt == "rdfxml", xml_lines)
+        .when(fmt == "json", json_lines)
         .when(fmt == "turtle", ttl_body)
         .when(fmt == "nquads", nq_lines)
         .otherwise(trig_lines)
