@@ -1,0 +1,515 @@
+"""Serializer kernels: statement streams -> syntax bytes.
+
+Re-expresses the reference's serializer family (registered in
+src/raptor_serialize.c:66-118):
+
+- :func:`to_ntriples` / :func:`to_nquads` — the streaming, stateless
+  writers (src/raptor_serialize_ntriples.c:194-332); pure function of
+  each statement, so the Spark form is a column expression (`nt_line`).
+- :func:`to_turtle` / :func:`to_trig` — the buffered abbreviating writer
+  (src/raptor_serialize_turtle.c:1388-1497 buffers the whole graph into
+  an AVL model grouped by subject, then emits): groups statements per
+  subject, abbreviates QNames against a prefix map, inlines anonymous
+  blank nodes referenced exactly once (the object-reference count check
+  of raptor_serialize_turtle.c:1450-1452), renders rdf:first/rest chains
+  as ``( ... )`` collections, and uses ``a`` for rdf:type.
+- :func:`to_rdfxml` — the streaming plain RDF/XML writer, one
+  rdf:Description per subject group (src/raptor_serialize_rdfxml.c),
+  with predicate URIs split at the longest valid-NCName suffix.
+- :func:`to_json` — RDF/JSON resource-centric shape
+  (src/raptor_serialize_json.c).
+- :func:`to_dot` — GraphViz digraph with node dedup
+  (src/raptor_serialize_dot.c).
+- :func:`to_html` — HTML table of triples (src/raptor_serialize_html.c).
+
+All writers are pure Python over lists of :class:`Triple` — the per-
+document payload inside an ``applyInPandas`` group (one conversation =
+one document), so serialization distributes the same way parsing does.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+from collections import OrderedDict, defaultdict
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from raptor_spark.kernel.terms import (
+    KIND_BLANK,
+    KIND_LITERAL,
+    KIND_URI,
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_NS,
+    RDF_REST,
+    RDF_TYPE,
+    Triple,
+    escape_nt_literal,
+    escape_nt_uri,
+    nt_render_statement,
+)
+
+# --------------------------------------------------------------------------
+# N-Triples / N-Quads
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789ABCDEF"
+
+
+def z_escape_bnodeid(label: str) -> str:
+    """Reversible, injective bnode-id encoding with 'z' as introducer
+    (reference: raptor_bnodeid_ntriples_write,
+    src/raptor_serialize_ntriples.c:130-158) — guarantees serializer
+    output labels are always legal to reparse (e.g. a label ending in
+    '.' survives the parser's trailing-dot rule)."""
+    out = []
+    for ch in label:
+        if ch.isascii() and ch.isalnum() and ch != "z":
+            out.append(ch)
+        elif ch == "z":
+            out.append("zz")
+        else:
+            for b in ch.encode("utf-8"):
+                out.append("z" + _HEX[b >> 4] + _HEX[b & 0x0F])
+    return "".join(out)
+
+
+def _zt(t: Triple) -> Triple:
+    """Statement with z-escaped bnode labels (serializer-side only)."""
+    subj = "_:" + z_escape_bnodeid(t.subj[2:]) if t.subj.startswith("_:") else t.subj
+    graph = t.graph
+    if graph is not None and graph.startswith("_:"):
+        graph = "_:" + z_escape_bnodeid(graph[2:])
+    obj_lex = t.obj_lex
+    if t.obj_kind == KIND_BLANK:
+        obj_lex = z_escape_bnodeid(obj_lex)
+    return t._replace(subj=subj, obj_lex=obj_lex, graph=graph)
+
+
+def to_ntriples(triples: Iterable[Triple]) -> str:
+    return "".join(
+        nt_render_statement(_zt(t), with_graph=False) + "\n" for t in triples
+    )
+
+
+def to_nquads(triples: Iterable[Triple]) -> str:
+    return "".join(
+        nt_render_statement(_zt(t), with_graph=True) + "\n" for t in triples
+    )
+
+
+# --------------------------------------------------------------------------
+# Turtle / TriG (buffered, abbreviating)
+# --------------------------------------------------------------------------
+
+_PN_LOCAL_RE = re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
+
+
+def _qname(uri: str, namespaces: Dict[str, str]) -> Optional[str]:
+    """Abbreviate a URI against prefix -> namespace bindings (reference:
+    raptor_turtle_writer qname lookup via raptor_namespaces_find)."""
+    best = None
+    for prefix, ns in namespaces.items():
+        if uri.startswith(ns) and len(ns) > (len(namespaces.get(best, "")) if best else 0):
+            local = uri[len(ns):]
+            if local == "" or (_PN_LOCAL_RE.match(local) and not local.endswith(".")):
+                best = prefix
+    if best is None:
+        return None
+    local = uri[len(namespaces[best]):]
+    return f"{best}:{local}"
+
+
+def _ttl_uri(uri: str, namespaces: Dict[str, str]) -> str:
+    q = _qname(uri, namespaces)
+    return q if q is not None else "<" + escape_nt_uri(uri) + ">"
+
+
+def _ttl_literal(t: Triple, namespaces: Dict[str, str]) -> str:
+    body = '"' + escape_nt_literal(t.obj_lex) + '"'
+    if t.obj_lang:
+        body += "@" + t.obj_lang
+    if t.obj_datatype:
+        body += "^^" + _ttl_uri(t.obj_datatype, namespaces)
+    return body
+
+
+class _TurtleModel:
+    """Subject-grouped model with bnode reference counts (the Spark-free
+    analogue of raptor_abbrev's nodes/subjects trees)."""
+
+    def __init__(self, triples: List[Triple]):
+        self.props: "OrderedDict[str, OrderedDict[str, List[Triple]]]" = OrderedDict()
+        self.obj_refs = defaultdict(int)
+        for t in triples:
+            self.props.setdefault(t.subj, OrderedDict()).setdefault(
+                t.pred, []
+            ).append(t)
+            if t.obj_kind == KIND_BLANK:
+                self.obj_refs["_:" + t.obj_lex] += 1
+
+    def is_collection(self, subj: str) -> bool:
+        ps = self.props.get(subj)
+        return (
+            ps is not None
+            and set(ps) == {RDF_FIRST, RDF_REST}
+            and len(ps[RDF_FIRST]) == 1
+            and len(ps[RDF_REST]) == 1
+        )
+
+    def inlineable(self, subj: str) -> bool:
+        return subj.startswith("_:") and self.obj_refs[subj] == 1
+
+
+def to_turtle(
+    triples: Iterable[Triple],
+    namespaces: Optional[Dict[str, str]] = None,
+    indent: str = "    ",
+    _bnode_map: Optional[Dict[str, str]] = None,
+    _no_inline: frozenset = frozenset(),
+    _prefix_header: bool = True,
+) -> str:
+    """Serialize the default graph as abbreviated Turtle.
+
+    Named (non-inlined) blank nodes are renumbered ``_:b1..`` in
+    first-seen order — deterministic, and immune to collisions with the
+    parser's own ``genidN`` sequence on reparse (labels are meaningless
+    under the reference's rdfdiff comparison anyway). ``_bnode_map`` and
+    ``_no_inline`` let :func:`to_trig` keep one document-wide label scope
+    and forbid inlining of bnodes shared between graphs."""
+    triples = [t for t in triples]
+    namespaces = dict(namespaces or {})
+    namespaces.setdefault("rdf", RDF_NS)
+    model = _TurtleModel(triples)
+    emitted = set()
+    bnode_map = _bnode_map if _bnode_map is not None else {}
+
+    def blabel(label: str) -> str:
+        return bnode_map.setdefault(label, "_:b%d" % (len(bnode_map) + 1))
+
+    out: List[str] = []
+    if _prefix_header:
+        for prefix, ns in namespaces.items():
+            name = (prefix + ":") if prefix else ":"
+            out.append(f"@prefix {name} <{escape_nt_uri(ns)}> .\n")
+        out.append("\n")
+
+    def inlineable(label: str) -> bool:
+        return model.inlineable(label) and label not in _no_inline
+
+    def collection_chain(head: str) -> Optional[List[str]]:
+        """Well-formed rdf list from head to rdf:nil, every node a
+        single-use {first, rest} bnode — else None (no partial inlining,
+        which would drop rest links)."""
+        chain = []
+        node = head
+        seen = set()
+        while node != RDF_NIL:
+            if node in seen or not (
+                model.is_collection(node) and inlineable(node)
+            ):
+                return None
+            seen.add(node)
+            chain.append(node)
+            rest_t = model.props[node][RDF_REST][0]
+            if rest_t.obj_kind == KIND_BLANK:
+                node = "_:" + rest_t.obj_lex
+            elif rest_t.obj_kind == KIND_URI:
+                node = rest_t.obj_lex
+            else:
+                return None
+        return chain
+
+    def render_object(t: Triple, depth: int) -> str:
+        if t.obj_kind == KIND_LITERAL:
+            return _ttl_literal(t, namespaces)
+        if t.obj_kind == KIND_URI:
+            return _ttl_uri(t.obj_lex, namespaces)
+        label = "_:" + t.obj_lex
+        chain = collection_chain(label) if label not in emitted else None
+        if chain is not None:
+            for n in chain:
+                emitted.add(n)
+            items = [
+                render_object(model.props[n][RDF_FIRST][0], depth + 1)
+                for n in chain
+            ]
+            return "( " + " ".join(items) + " )" if items else "( )"
+        if inlineable(label) and label in model.props and label not in emitted:
+            return render_inline_bnode(label, depth)
+        return blabel(label)
+
+    def render_props(subj: str, depth: int) -> str:
+        pad = indent * depth
+        parts = []
+        ps = model.props.get(subj, OrderedDict())
+        for pred, ts in ps.items():
+            pred_s = "a" if pred == RDF_TYPE else _ttl_uri(pred, namespaces)
+            objs = ", ".join(render_object(t, depth) for t in ts)
+            parts.append(f"{pad}{pred_s} {objs}")
+        return " ;\n".join(parts)
+
+    def render_inline_bnode(label: str, depth: int) -> str:
+        emitted.add(label)
+        body = render_props(label, depth + 1)
+        pad = indent * depth
+        return "[\n" + body + "\n" + pad + "]"
+
+    for subj in model.props:
+        if subj in emitted:
+            continue
+        if subj.startswith("_:"):
+            if inlineable(subj) or model.is_collection(subj):
+                continue  # rendered inline at its reference site
+            subj_s = blabel(subj)
+        else:
+            subj_s = _ttl_uri(subj, namespaces)
+        emitted.add(subj)
+        out.append(subj_s + "\n" + render_props(subj, 1) + " .\n\n")
+    # anything skipped as "inlineable" but never actually referenced
+    # (dangling) still needs top-level emission
+    for subj in model.props:
+        if subj not in emitted:
+            emitted.add(subj)
+            out.append(blabel(subj) + "\n" + render_props(subj, 1) + " .\n\n")
+    return "".join(out)
+
+
+def to_trig(
+    triples: Iterable[Triple], namespaces: Optional[Dict[str, str]] = None
+) -> str:
+    """TriG: Turtle with {} blocks per named graph
+    (reference: trig support in src/raptor_serialize_turtle.c).
+
+    Blank-node labels are document-scoped in TriG, so one label map spans
+    all blocks, and bnodes appearing in more than one graph (or as graph
+    names) are pinned to named form — inlining them inside one block
+    would silently split their identity."""
+    triples = list(triples)
+    namespaces = dict(namespaces or {})
+    namespaces.setdefault("rdf", RDF_NS)
+    by_graph: "OrderedDict[Optional[str], List[Triple]]" = OrderedDict()
+    graphs_of = defaultdict(set)
+    graph_name_bnodes = set()
+    for t in triples:
+        by_graph.setdefault(t.graph, []).append(t)
+        if t.subj.startswith("_:"):
+            graphs_of[t.subj].add(t.graph)
+        if t.obj_kind == KIND_BLANK:
+            graphs_of["_:" + t.obj_lex].add(t.graph)
+        if t.graph is not None and t.graph.startswith("_:"):
+            graph_name_bnodes.add(t.graph)
+    no_inline = frozenset(
+        b for b, gs in graphs_of.items() if len(gs) > 1
+    ) | frozenset(graph_name_bnodes)
+    bnode_map: Dict[str, str] = {}
+
+    out = []
+    for prefix, ns in namespaces.items():
+        name = (prefix + ":") if prefix else ":"
+        out.append(f"@prefix {name} <{escape_nt_uri(ns)}> .\n")
+    out.append("\n")
+    for graph, ts in by_graph.items():
+        body = to_turtle(
+            ts,
+            namespaces,
+            _bnode_map=bnode_map,
+            _no_inline=no_inline,
+            _prefix_header=False,
+        )
+        if graph is None:
+            out.append(body)
+        else:
+            g = (
+                bnode_map.setdefault(graph, "_:b%d" % (len(bnode_map) + 1))
+                if graph.startswith("_:")
+                else "<" + escape_nt_uri(graph) + ">"
+            )
+            indented = "".join(
+                ("    " + line if line.strip() else line)
+                for line in body.splitlines(keepends=True)
+            )
+            out.append(g + " {\n" + indented + "}\n\n")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# RDF/XML (streaming plain writer)
+# --------------------------------------------------------------------------
+
+_NCNAME_CHAR = re.compile(r"[A-Za-z0-9_.\-\u00C0-\uFFFF]")
+_NCNAME_START = re.compile(r"[A-Za-z_\u00C0-\uFFFF]")
+
+
+def split_predicate(uri: str) -> Tuple[str, str]:
+    """Split a predicate URI into (namespace, NCName local part) at the
+    shortest valid-NCName suffix (reference: the rdfxml serializer's
+    raptor_xml_name splitting). Raises ValueError if no split exists."""
+    n = len(uri)
+    i = n
+    while i > 0 and _NCNAME_CHAR.match(uri[i - 1]):
+        i -= 1
+    while i < n and not _NCNAME_START.match(uri[i]):
+        i += 1
+    if i >= n or i == 0:
+        raise ValueError("predicate URI %r has no XML-name local part" % uri)
+    return uri[:i], uri[i:]
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _xml_attr(s: str) -> str:
+    return _xml_escape(s).replace('"', "&quot;")
+
+
+def to_rdfxml(triples: Iterable[Triple]) -> str:
+    out = [
+        '<?xml version="1.0" encoding="utf-8"?>\n',
+        '<rdf:RDF xmlns:rdf="%s">\n' % RDF_NS,
+    ]
+    for t in triples:
+        if t.subj.startswith("_:"):
+            subj_attr = 'rdf:nodeID="%s"' % _xml_attr(t.subj[2:])
+        else:
+            subj_attr = 'rdf:about="%s"' % _xml_attr(t.subj)
+        ns, local = split_predicate(t.pred)
+        open_tag = '<ns0:%s xmlns:ns0="%s"' % (local, _xml_attr(ns))
+        if t.obj_kind == KIND_URI:
+            body = '%s rdf:resource="%s"/>' % (open_tag, _xml_attr(t.obj_lex))
+        elif t.obj_kind == KIND_BLANK:
+            body = '%s rdf:nodeID="%s"/>' % (open_tag, _xml_attr(t.obj_lex))
+        else:
+            attrs = ""
+            if t.obj_lang:
+                attrs += ' xml:lang="%s"' % _xml_attr(t.obj_lang)
+            if t.obj_datatype:
+                attrs += ' rdf:datatype="%s"' % _xml_attr(t.obj_datatype)
+            body = "%s%s>%s</ns0:%s>" % (open_tag, attrs, _xml_escape(t.obj_lex), local)
+        out.append("  <rdf:Description %s>\n    %s\n  </rdf:Description>\n" % (subj_attr, body))
+    out.append("</rdf:RDF>\n")
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# RDF/JSON (resource-centric)
+# --------------------------------------------------------------------------
+
+
+def to_json(triples: Iterable[Triple]) -> str:
+    doc: "OrderedDict[str, OrderedDict[str, list]]" = OrderedDict()
+    for t in triples:
+        objs = doc.setdefault(t.subj, OrderedDict()).setdefault(t.pred, [])
+        if t.obj_kind == KIND_URI:
+            term = {"value": t.obj_lex, "type": "uri"}
+        elif t.obj_kind == KIND_BLANK:
+            term = {"value": "_:" + t.obj_lex, "type": "bnode"}
+        else:
+            term = {"value": t.obj_lex, "type": "literal"}
+            if t.obj_lang:
+                term["lang"] = t.obj_lang
+            if t.obj_datatype:
+                term["datatype"] = t.obj_datatype
+        objs.append(term)
+    return _json.dumps(doc, indent=2, ensure_ascii=False) + "\n"
+
+
+# --------------------------------------------------------------------------
+# GraphViz dot
+# --------------------------------------------------------------------------
+
+
+def _dot_quote(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
+def to_dot(triples: Iterable[Triple]) -> str:
+    """digraph with per-kind node ids (rN resources, bN bnodes, lN
+    literals) and deduplicated node declarations."""
+    triples = list(triples)
+    ids: Dict[Tuple, str] = {}
+    decls: List[str] = []
+
+    def node(kind: int, key: str, label: str) -> str:
+        k = (kind, key)
+        if k in ids:
+            return ids[k]
+        prefix = {KIND_URI: "r", KIND_BLANK: "b", KIND_LITERAL: "l"}[kind]
+        nid = "%s%d" % (prefix, len([i for i in ids.values() if i.startswith(prefix)]) + 1)
+        ids[k] = nid
+        shape = {KIND_URI: "ellipse", KIND_BLANK: "circle", KIND_LITERAL: "record"}[kind]
+        decls.append('\t"%s" [ label="%s", shape = %s ];\n' % (nid, _dot_quote(label), shape))
+        return nid
+
+    edges = []
+    for t in triples:
+        if t.subj.startswith("_:"):
+            s = node(KIND_BLANK, t.subj, t.subj[2:])
+        else:
+            s = node(KIND_URI, t.subj, t.subj)
+        if t.obj_kind == KIND_LITERAL:
+            label = t.obj_lex
+            if t.obj_lang:
+                label += "@" + t.obj_lang
+            if t.obj_datatype:
+                label += "^^" + t.obj_datatype
+            o = node(KIND_LITERAL, label, label)
+        elif t.obj_kind == KIND_BLANK:
+            o = node(KIND_BLANK, "_:" + t.obj_lex, t.obj_lex)
+        else:
+            o = node(KIND_URI, t.obj_lex, t.obj_lex)
+        edges.append('\t"%s" -> "%s" [ label="%s" ];\n' % (s, o, _dot_quote(t.pred)))
+    return (
+        "digraph {\n\trankdir = LR;\n\tcharset=\"utf-8\";\n\n"
+        + "".join(decls)
+        + "\n"
+        + "".join(edges)
+        + "\n\tlabel=\"\\n\\nModel:\\n\";\n}\n"
+    )
+
+
+# --------------------------------------------------------------------------
+# HTML table
+# --------------------------------------------------------------------------
+
+
+def _html_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;")
+    )
+
+
+def to_html(triples: Iterable[Triple]) -> str:
+    rows = []
+    for t in triples:
+        def cell(kind, lex, dt=None, lang=None):
+            if kind == KIND_URI:
+                e = _html_escape(lex)
+                return '<span class="uri"><a href="%s">%s</a></span>' % (e, e)
+            if kind == KIND_BLANK:
+                return '<span class="blank">_:%s</span>' % _html_escape(lex)
+            body = '<span class="literal">%s' % _html_escape(lex)
+            if lang:
+                body += "@%s" % _html_escape(lang)
+            if dt:
+                body += "^^&lt;%s&gt;" % _html_escape(dt)
+            return body + "</span>"
+
+        s_kind = KIND_BLANK if t.subj.startswith("_:") else KIND_URI
+        s_lex = t.subj[2:] if s_kind == KIND_BLANK else t.subj
+        rows.append(
+            "    <tr class=\"triple\">\n"
+            "      <td>%s</td>\n      <td>%s</td>\n      <td>%s</td>\n    </tr>\n"
+            % (
+                cell(s_kind, s_lex),
+                cell(KIND_URI, t.pred),
+                cell(t.obj_kind, t.obj_lex, t.obj_datatype, t.obj_lang),
+            )
+        )
+    return (
+        "<html>\n<body>\n  <table>\n"
+        + "".join(rows)
+        + "  </table>\n</body>\n</html>\n"
+    )

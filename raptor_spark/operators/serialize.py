@@ -1,0 +1,113 @@
+"""Distributed serializer operators (the sink side of the engine).
+
+Two paths, mirroring the reference's serializer split
+(src/raptor_serialize.c registry):
+
+- **Streaming, stateless** (ntriples/nquads — one line per statement,
+  src/raptor_serialize_ntriples.c): a pure column expression over the
+  canonical ``*_nt`` term renderings the parse stage already produced.
+  Stays entirely in whole-stage codegen; ``df.write.text`` scales it to
+  any cluster size with no shuffle at all.
+
+- **Buffered, per-document** (turtle/trig/rdfxml/json/dot/html — the
+  abbreviating writers buffer a whole graph, grouped by subject:
+  src/raptor_serialize_turtle.c:1388-1497): one shuffle on the grouping
+  key, then an Arrow-batched ``applyInPandas`` that runs the pure-Python
+  writer kernel per conversation. Documents are independent, so this
+  scales linearly with partitions — the Spark analogue of "the abbrev
+  serializer buffers one model per output document".
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raptor_spark.kernel import serialize as K
+from raptor_spark.kernel.terms import Triple
+
+_WRITERS = {
+    "ntriples": K.to_ntriples,
+    "nquads": K.to_nquads,
+    "turtle": K.to_turtle,
+    "trig": K.to_trig,
+    "rdfxml": K.to_rdfxml,
+    "json": K.to_json,
+    "dot": K.to_dot,
+    "html": K.to_html,
+}
+
+
+def nt_lines(triples: DataFrame, with_graph: bool = True):
+    """Canonical N-Triples/N-Quads line column (streaming sink path)."""
+    cols = [F.col("subj_nt"), F.col("pred_nt"), F.col("obj_nt")]
+    if with_graph:
+        cols.append(F.col("graph_nt"))
+    return F.concat(F.concat_ws(" ", *cols), F.lit(" ."))
+
+
+def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True):
+    """Materialize the graph as N-Triples/N-Quads text files."""
+    triples.select(nt_lines(triples, with_graph).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def _rows_to_triples(pdf: pd.DataFrame):
+    return [
+        Triple(
+            r.subj, r.pred, int(r.obj_kind), r.obj_lex,
+            None if pd.isna(r.obj_datatype) else r.obj_datatype,
+            None if pd.isna(r.obj_lang) else r.obj_lang,
+            None if r.graph is None or (isinstance(r.graph, float) and pd.isna(r.graph)) else r.graph,
+        )
+        for r in pdf.itertuples()
+    ]
+
+
+def serialize_documents(
+    triples: DataFrame, fmt: str, group_col: str = "conv_id"
+) -> DataFrame:
+    """(group, triples...) -> (group, payload): one serialized document
+    per group via the buffered writer kernels."""
+    writer = _WRITERS[fmt]
+    cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
+            "obj_datatype", "obj_lang", "graph"]
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {group_col: [key[0]], "payload": [writer(_rows_to_triples(pdf))]}
+        )
+
+    return (
+        triples.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(run, schema=f"{group_col} string, payload string")
+    )
+
+
+def serialize_roundtrip_counts(
+    triples: DataFrame, group_col: str = "conv_id"
+) -> DataFrame:
+    """Serialize each group as TriG, reparse it, count statements — the
+    distributed form of the reference's check-turtle-serialize harness
+    (rapper -o turtle | rdfdiff). Returns (group, n_triples)."""
+    from raptor_spark.kernel import turtle as T
+
+    cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
+            "obj_datatype", "obj_lang", "graph"]
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = K.to_trig(_rows_to_triples(pdf))
+        back, errs = T.parse_document(doc, base_uri="http://roundtrip/", trig=True)
+        n = -1 if errs else len(set(back))
+        return pd.DataFrame({group_col: [key[0]], "n_triples": [n]})
+
+    return (
+        triples.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(run, schema=f"{group_col} string, n_triples long")
+    )

@@ -408,6 +408,100 @@ FROM events GROUP BY user_id
 """
 
 
+def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming N-Quads sink: canonical line per statement, pure column
+    expression (reference: src/raptor_serialize_ntriples.c:194-332). The
+    oracle rebuilds every line relationally — checks the whole
+    parse -> canonicalize -> render path byte-for-byte."""
+    from raptor_spark.operators.serialize import nt_lines
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    return triples.select(
+        F.col("conv_id"), nt_lines(triples, with_graph=True).alias("nt_line")
+    )
+
+
+_SERIALIZE_NT_ORACLE = """
+WITH fmt AS (
+  SELECT o_orderkey AS k,
+         o_orderstatus AS st,
+         o_orderpriority AS pr,
+         o_custkey AS c,
+         CASE WHEN o_orderkey % 10 IN (8, 9)
+              THEN ' <http://ex.org/graph/' || o_orderkey || '>' ELSE '' END
+             AS g
+  FROM orders
+),
+li AS (
+  SELECT DISTINCT l_orderkey AS k,
+         '_:ord-' || l_orderkey || '.li' || l_linenumber || 'p' || l_partkey
+             || 'q' || CAST(l_quantity AS INT) AS bn,
+         l_partkey AS pk,
+         CAST(l_quantity AS INT) AS qty
+  FROM lineitem
+)
+SELECT 'ord-' || k AS conv_id,
+       '<http://ex.org/order/' || k || '> <http://ex.org/ns#status> "'
+           || st || '"' || g || ' .' AS nt_line
+FROM fmt
+UNION ALL
+SELECT 'ord-' || k,
+       '<http://ex.org/order/' || k || '> <http://ex.org/ns#priority> "'
+           || pr || '"' || g || ' .'
+FROM fmt
+UNION ALL
+SELECT 'ord-' || k,
+       '<http://ex.org/order/' || k
+           || '> <http://ex.org/ns#customer> <http://ex.org/customer/'
+           || c || '>' || g || ' .'
+FROM fmt
+UNION ALL
+SELECT 'ord-' || li.k,
+       '<http://ex.org/order/' || li.k || '> <http://ex.org/ns#item> '
+           || li.bn || fmt.g || ' .'
+FROM li JOIN fmt ON li.k = fmt.k
+UNION ALL
+SELECT 'ord-' || li.k,
+       li.bn || ' <http://ex.org/ns#part> <http://ex.org/part/' || li.pk
+           || '>' || fmt.g || ' .'
+FROM li JOIN fmt ON li.k = fmt.k
+UNION ALL
+SELECT 'ord-' || li.k,
+       li.bn || ' <http://ex.org/ns#qty> "' || li.qty
+           || '"^^<http://www.w3.org/2001/XMLSchema#integer>' || fmt.g || ' .'
+FROM li JOIN fmt ON li.k = fmt.k
+"""
+
+
+def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered abbreviating writer exercised distributed: serialize each
+    conversation's graph as TriG (groupBy + applyInPandas), reparse it,
+    count statements — the Spark form of the reference's
+    check-turtle-serialize (rapper -o turtle | rdfdiff). Oracle knows the
+    expected distinct-statement count per conversation."""
+    from raptor_spark.operators.serialize import serialize_roundtrip_counts
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    return serialize_roundtrip_counts(triples)
+
+
+_SERIALIZE_RT_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln, l_partkey AS pk,
+         CAST(l_quantity AS INT) AS qty
+  FROM lineitem
+),
+cnt AS (SELECT k, COUNT(*) AS n FROM li GROUP BY k)
+SELECT 'ord-' || o_orderkey AS conv_id,
+       3 + 3 * COALESCE(cnt.n, 0) AS n_triples
+FROM orders LEFT JOIN cnt ON cnt.k = o_orderkey
+"""
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -756,6 +850,8 @@ QUERIES = {
     "uri_mint": q_uri_mint,
     "entity_link": q_entity_link,
     "serialize_grouped": q_serialize_grouped,
+    "serialize_ntriples": q_serialize_ntriples,
+    "serialize_roundtrip": q_serialize_roundtrip,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -779,6 +875,8 @@ ORACLES = {
     "uri_mint": _URI_MINT_ORACLE,
     "entity_link": _ENTITY_LINK_ORACLE,
     "serialize_grouped": _SERIALIZE_ORACLE,
+    "serialize_ntriples": _SERIALIZE_NT_ORACLE,
+    "serialize_roundtrip": _SERIALIZE_RT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
