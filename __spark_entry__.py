@@ -22,8 +22,9 @@ if _REPO not in sys.path:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: transcripts -> reassemble -> parse (4 syntaxes) ->
-    canonicalize -> dedup -> triples, over RDF-ized sf0.001 tables."""
+    """Flagship: transcripts -> reassemble -> parse (6 syntaxes: NT, NQ,
+    Turtle, TriG, RDF/XML, RDF/JSON) -> canonicalize -> dedup -> triples,
+    over RDF-ized sf0.001 tables."""
     from raptor_spark.queries import q_kg_pipeline
 
     return q_kg_pipeline(spark, "/root/testdata/sf0.001")

@@ -41,11 +41,9 @@ def relabel_bnodes(triples: DataFrame) -> DataFrame:
             ),
         ).otherwise(col)
 
-    out = (
+    return (
         triples.withColumn("subj", rl(F.col("subj")))
         .withColumn("graph", rl(F.col("graph")))
-        .withColumn("subj_nt", rl(F.col("subj_nt")))
-        .withColumn("graph_nt", rl(F.col("graph_nt")))
         .withColumn(
             "obj_lex",
             F.when(
@@ -53,28 +51,15 @@ def relabel_bnodes(triples: DataFrame) -> DataFrame:
                 F.concat(F.col("conv_id"), F.lit("."), F.col("obj_lex")),
             ).otherwise(F.col("obj_lex")),
         )
-        .withColumn("obj_nt", rl(F.col("obj_nt")))
-    )
-    # rendered bnode terms carry no escapes, so nt_line rebuilds by concat
-    return out.withColumn(
-        "nt_line",
-        F.concat(
-            F.concat_ws(
-                " ",
-                F.col("subj_nt"),
-                F.col("pred_nt"),
-                F.col("obj_nt"),
-                F.col("graph_nt"),
-            ),
-            F.lit(" ."),
-        ),
     )
 
 
 def dedup_statements(
     triples: DataFrame, global_dedup: bool = False, salt_buckets: int = 0
 ) -> DataFrame:
-    """Statement dedup on the canonical encoding.
+    """Statement dedup on the logical term columns (equality on them is
+    exactly term equality after canonicalization — the reference compares
+    terms the same way, src/raptor_term.c:655-798).
 
     Per-conversation by default (bnode labels are conv-scoped); pass
     ``global_dedup=True`` after :func:`relabel_bnodes` for whole-graph
@@ -86,7 +71,11 @@ def dedup_statements(
     hash-aggregate is already two-phase, so the default path just uses
     dropDuplicates.
     """
-    keys = ["nt_line"] if global_dedup else ["conv_id", "nt_line"]
+    term_keys = [
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
+        "graph",
+    ]
+    keys = term_keys if global_dedup else ["conv_id"] + term_keys
     if salt_buckets and salt_buckets > 1:
         salted = triples.withColumn(
             "_salt", F.pmod(F.xxhash64(*keys), F.lit(salt_buckets))

@@ -9,9 +9,11 @@ operator scales linearly with partitions.
 
 Output is a single DataFrame carrying both triples and parse errors
 (``rec`` = 't' | 'e'), so one pass over the input feeds both the graph
-and the error side-channel. ``nt_line`` is the canonical N-Triples
-rendering (reference escape rules, src/raptor_escaped.c) and is the
-dedup/compare key.
+and the error side-channel. Only the logical term columns cross the
+Arrow boundary — canonical N-Triples rendering happens at the sink
+(operators/serialize.py), keeping bytes-per-triple minimal on the hot
+path (the scale-relevant cost is Arrow transfer + shuffle width, not
+parse CPU).
 """
 
 from __future__ import annotations
@@ -24,19 +26,12 @@ from pyspark.sql import functions as F
 
 from raptor_spark.kernel import ntriples as _nt
 from raptor_spark.kernel import turtle as _ttl
-from raptor_spark.kernel.terms import (
-    Triple,
-    escape_nt_uri,
-    nt_render_statement,
-    nt_render_term,
-    render_subjlike,
-)
+from raptor_spark.kernel.terms import Triple
 
 TRIPLES_SCHEMA = (
     "conv_id string, rec string, subj string, pred string, obj_kind int, "
     "obj_lex string, obj_datatype string, obj_lang string, graph string, "
-    "subj_nt string, pred_nt string, obj_nt string, graph_nt string, "
-    "nt_line string, src_format string, error_line int, error_message string"
+    "src_format string, error_line int, error_message string"
 )
 
 
@@ -104,13 +99,6 @@ def _rows_for_doc(conv_id, text, fmt, base_uri, out):
     except Exception as e:  # kernel bug guard: one bad doc must not kill a batch
         triples, errors = [], [{"line": 0, "message": "internal: %r" % e}]
     for t in triples:
-        subj_nt = render_subjlike(t.subj)
-        pred_nt = "<" + escape_nt_uri(t.pred) + ">"
-        obj_nt = nt_render_term(t.obj_kind, t.obj_lex, t.obj_datatype, t.obj_lang)
-        graph_nt = render_subjlike(t.graph) if t.graph is not None else None
-        parts = [subj_nt, pred_nt, obj_nt]
-        if graph_nt is not None:
-            parts.append(graph_nt)
         out["conv_id"].append(conv_id)
         out["rec"].append("t")
         out["subj"].append(t.subj)
@@ -120,11 +108,6 @@ def _rows_for_doc(conv_id, text, fmt, base_uri, out):
         out["obj_datatype"].append(t.obj_datatype)
         out["obj_lang"].append(t.obj_lang)
         out["graph"].append(t.graph)
-        out["subj_nt"].append(subj_nt)
-        out["pred_nt"].append(pred_nt)
-        out["obj_nt"].append(obj_nt)
-        out["graph_nt"].append(graph_nt)
-        out["nt_line"].append(" ".join(parts) + " .")
         out["src_format"].append(fmt)
         out["error_line"].append(None)
         out["error_message"].append(None)
@@ -138,11 +121,6 @@ def _rows_for_doc(conv_id, text, fmt, base_uri, out):
             "obj_datatype",
             "obj_lang",
             "graph",
-            "subj_nt",
-            "pred_nt",
-            "obj_nt",
-            "graph_nt",
-            "nt_line",
         ):
             out[c].append(None)
         out["obj_kind"].append(None)
@@ -160,8 +138,7 @@ def parse_documents(docs: DataFrame, base_uri_col: Optional[str] = None) -> Data
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         keys = (
             "conv_id rec subj pred obj_kind obj_lex obj_datatype obj_lang "
-            "graph subj_nt pred_nt obj_nt graph_nt nt_line src_format "
-            "error_line error_message"
+            "graph src_format error_line error_message"
         ).split()
         for pdf in batches:
             out = {k: [] for k in keys}

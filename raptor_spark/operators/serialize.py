@@ -41,12 +41,63 @@ _WRITERS = {
 }
 
 
+def _nt_line_fn(
+    subj: pd.Series,
+    pred: pd.Series,
+    obj_kind: pd.Series,
+    obj_lex: pd.Series,
+    obj_datatype: pd.Series,
+    obj_lang: pd.Series,
+    graph: pd.Series,
+) -> pd.Series:
+    from raptor_spark.kernel.terms import (
+        escape_nt_uri,
+        nt_render_term,
+        render_subjlike,
+    )
+
+    out = []
+    for s, p, ok, ol, od, og, g in zip(
+        subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, graph
+    ):
+        parts = [
+            render_subjlike(s),
+            "<" + escape_nt_uri(p) + ">",
+            nt_render_term(
+                int(ok), ol,
+                None if od is None else od,
+                None if og is None else og,
+            ),
+        ]
+        if g is not None:
+            parts.append(render_subjlike(g))
+        out.append(" ".join(parts) + " .")
+    return pd.Series(out)
+
+
+_nt_line_udf_cached = None
+
+
+def _nt_line_udf():
+    # created lazily: registering a pandas_udf at import time would break
+    # this module's import inside Python workers (no JVM gateway there)
+    global _nt_line_udf_cached
+    if _nt_line_udf_cached is None:
+        _nt_line_udf_cached = F.pandas_udf(_nt_line_fn, "string")
+    return _nt_line_udf_cached
+
+
 def nt_lines(triples: DataFrame, with_graph: bool = True):
-    """Canonical N-Triples/N-Quads line column (streaming sink path)."""
-    cols = [F.col("subj_nt"), F.col("pred_nt"), F.col("obj_nt")]
-    if with_graph:
-        cols.append(F.col("graph_nt"))
-    return F.concat(F.concat_ws(" ", *cols), F.lit(" ."))
+    """Canonical N-Triples/N-Quads line column (streaming sink path).
+
+    Rendering is deferred to the sink — the parse hot path ships only
+    logical term columns — and runs as one Arrow-vectorized pass applying
+    the reference escape rules (src/raptor_escaped.c:52-154)."""
+    g = F.col("graph") if with_graph else F.lit(None).cast("string")
+    return _nt_line_udf()(
+        F.col("subj"), F.col("pred"), F.col("obj_kind"), F.col("obj_lex"),
+        F.col("obj_datatype"), F.col("obj_lang"), g,
+    )
 
 
 def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True):

@@ -89,6 +89,29 @@ FROM li JOIN fmt ON li.k = fmt.k
 """
 
 
+def q_kg_pipeline_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline, but reading the transcripts from a materialized
+    parquet table (the input_hint's Iceberg-table shape) instead of
+    re-synthesizing inside the job — the deployment-shaped path: the scan
+    parallelizes by file splits, prunes columns, and the only exchanges
+    left are conv_id reassembly and dedup."""
+    import os
+
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import materialize_transcripts
+
+    # bench-only knob: replicate the input table (distinct conv_ids) so
+    # scaling runs amortize fixed costs; never set by the correctness
+    # driver, so the DuckDB oracle always sees replicate=1
+    replicate = int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1"))
+    path = materialize_transcripts(spark, sf_dir, replicate=replicate)
+    transcripts = spark.read.parquet(path)
+    triples, _errors = build_graph(transcripts)
+    return triples.select(
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang", "graph"
+    )
+
+
 def q_kg_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error side-channel: count of parse errors (must be zero rows)."""
     from raptor_spark.pipeline import build_graph
@@ -839,6 +862,7 @@ GROUP BY a.bucket
 
 QUERIES = {
     "kg_pipeline": q_kg_pipeline,
+    "kg_pipeline_iceberg": q_kg_pipeline_iceberg,
     "kg_parse_errors": q_kg_parse_errors,
     "reassemble_sessions": q_reassemble_sessions,
     "ordinal_members": q_ordinal_members,
@@ -864,6 +888,7 @@ QUERIES = {
 
 ORACLES = {
     "kg_pipeline": _KG_ORACLE,
+    "kg_pipeline_iceberg": _KG_ORACLE,
     "kg_parse_errors": _KG_ERRORS_ORACLE,
     "reassemble_sessions": _REASSEMBLE_ORACLE,
     "ordinal_members": _ORDINAL_ORACLE,

@@ -362,6 +362,44 @@ def tpch_transcripts(
     )
 
 
+def materialize_transcripts(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: Optional[str] = None,
+    replicate: int = 1,
+) -> str:
+    """Write the synthetic transcripts as a parquet table and return its
+    path — the stand-in for the north rule's Iceberg transcript table
+    (real deployments READ transcripts; they don't synthesize them inside
+    the job). Turns are hash-clustered by conv_id so a scan parallelizes
+    by file splits and conversations stay file-local. Idempotent: skipped
+    when the table already exists (deterministic input, seeded driver
+    data)."""
+    import os
+    from functools import reduce
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    suffix = f"_x{replicate}" if replicate > 1 else ""
+    out = out_dir or f"/tmp/raptor_spark_transcripts_{name}{suffix}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        base = tpch_transcripts(spark, sf_dir)
+        if replicate > 1:
+            # bench-only corpus growth: N copies under distinct conv_ids
+            # (per-document work identical; conv_id only prefixes bnode
+            # relabeling downstream)
+            base = reduce(
+                lambda a, b: a.unionByName(b),
+                [
+                    base.withColumn(
+                        "conv_id", F.concat(F.col("conv_id"), F.lit("#%d" % i))
+                    )
+                    for i in range(replicate)
+                ],
+            )
+        base.repartition(32, F.col("conv_id")).write.mode("overwrite").parquet(out)
+    return out
+
+
 def fixture_transcripts(
     spark: SparkSession,
     files: List[pathlib.Path],

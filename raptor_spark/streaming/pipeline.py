@@ -1,0 +1,62 @@
+"""Structured Streaming wrapper around the batch KG pipeline.
+
+The reference is a push-chunk architecture (raptor_parser_parse_chunk,
+src/raptor_parse.c:479-487) with per-parser incremental buffering; there
+are no watermark/late-data semantics — documents are finite. The Spark
+analogue is a micro-batched stream of transcript files: each trigger's
+batch runs the SAME deterministic batch pipeline via ``foreachBatch``
+(conversations are assumed batch-complete, i.e. a conversation's turns
+land in one file set — the conv_id-clustered layout the materializer
+writes). ``Trigger.AvailableNow`` drains a static table and stops, which
+is the streaming-shaped way to run the batch job resumably: Spark's
+checkpoint directory gives exactly-once file progress on top of the
+bucket manifests of raptor_spark.plans.checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def stream_build_graph(
+    spark: SparkSession,
+    transcripts_path: str,
+    out_dir: str,
+    base_uri_col: Optional[str] = None,
+    await_termination: bool = True,
+):
+    """Stream transcript parquet -> triples/errors parquet, one batch
+    pipeline run per micro-batch, draining with Trigger.AvailableNow.
+
+    Returns the StreamingQuery (already terminated when
+    ``await_termination`` is True)."""
+    from raptor_spark.pipeline import build_graph
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(transcripts_path)
+    )
+
+    def process(batch_df, batch_id: int):
+        triples, errors = build_graph(batch_df, base_uri_col=base_uri_col)
+        triples.write.mode("append").parquet(os.path.join(out_dir, "triples"))
+        errors.write.mode("append").parquet(os.path.join(out_dir, "errors"))
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
