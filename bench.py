@@ -129,10 +129,10 @@ def run_scaling(sf_dir: str) -> dict:
     executors per the driver instruction); writes BENCH/BASELINE.md.
 
     The sandbox shares its host, so absolute wall-clock drifts with
-    neighbor load on a minutes scale. Rounds are therefore interleaved
-    (N, 4N, N, 4N, ...) and the reported efficiency is the median of the
-    per-round ratios — multiplicative host noise hits both sides of a
-    round roughly equally and cancels in the ratio."""
+    neighbor load on a minutes scale. Rounds therefore run the N and 4N
+    jobs back-to-back (interleaved) and the reported efficiency is the
+    median of the per-round ratios, minimizing the window the drift has
+    to skew a round."""
     flag = "kg_pipeline_iceberg"
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_ROUNDS", "3")))
     # N and 4N cores, 4->16 by default: both sides stay inside the host's
@@ -143,7 +143,7 @@ def run_scaling(sf_dir: str) -> dict:
     # remain to absorb neighbor noise.
     lo, hi = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "4,16").split(",")
 
-    def one(cpus: str) -> dict:
+    def launch(cpus: str, cpu_list: str) -> subprocess.Popen:
         env = dict(
             os.environ,
             SPARK_GRAFT_SF_DIR=sf_dir,
@@ -152,7 +152,7 @@ def run_scaling(sf_dir: str) -> dict:
             SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "1"),
             SPARK_GRAFT_FULL_WARMUP="1",
             RAPTOR_SPARK_BENCH_REPLICATE=os.environ.get(
-                "RAPTOR_SPARK_BENCH_REPLICATE", "2"
+                "RAPTOR_SPARK_BENCH_REPLICATE", "1"
             ),
         )
         # Pin the WHOLE process tree (JVM incl. GC/shuffle threads, Python
@@ -160,18 +160,52 @@ def run_scaling(sf_dir: str) -> dict:
         # slots, letting GC and Python workers overflow onto idle cores,
         # which flatters the small-N side and understates scaling.
         cmd = [
-            "taskset", "-c", "0-%d" % (int(cpus) - 1),
+            "taskset", "-c", cpu_list,
             sys.executable, os.path.abspath(__file__),
         ]
-        out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, check=True
+        return subprocess.Popen(
+            cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    # Rounds run N then 4N back-to-back (interleaved, pinned). Running
+    # the two sides simultaneously on disjoint sets was tried and is
+    # WORSE: with N+4N cores loaded the host's shared memory bandwidth
+    # saturates and the 4N side absorbs ~4/5 of the hit, understating
+    # scaling by ~2x. Sequential keeps total load at one side's budget.
+    n_lo, n_hi = int(lo), int(hi)
+    lo_set = "0-%d" % (n_lo - 1)
+    hi_set = "0-%d" % (n_hi - 1)
+
+    # materialize the (possibly replicated) input table up front so the
+    # two concurrent subprocesses never race on writing it
+    from pyspark.sql import SparkSession
+
+    pre = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    pre.sparkContext.setLogLevel("ERROR")
+    from raptor_spark.sources.transcripts import materialize_transcripts
+
+    materialize_transcripts(
+        pre, sf_dir,
+        replicate=int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1")),
+    )
+    pre.stop()
 
     pairs = []
     for _ in range(rounds):
-        r8 = one(lo)
-        r32 = one(hi)
+        p_lo = launch(lo, lo_set)
+        out_lo, _ = p_lo.communicate()
+        p_hi = launch(hi, hi_set)
+        out_hi, _ = p_hi.communicate()
+        if p_lo.returncode or p_hi.returncode:
+            raise RuntimeError("scaling subprocess failed")
+        r8 = json.loads(out_lo.strip().splitlines()[-1])
+        r32 = json.loads(out_hi.strip().splitlines()[-1])
         t8, t32 = r8["queries"][flag], r32["queries"][flag]
         pairs.append((t8, t32, (t8 / t32) / 4.0, r32))
     pairs.sort(key=lambda p: p[2])
@@ -215,9 +249,13 @@ def run_scaling(sf_dir: str) -> dict:
             "Methodology: each run is pinned with taskset to exactly its\n"
             "core budget (local[N] alone only limits task slots — GC and\n"
             "Python workers would overflow onto idle cores and flatter\n"
-            "the small-N side). Rounds are interleaved N/4N and the\n"
-            "median per-round efficiency is reported, because the shared\n"
-            "host's spare CPU drifts on a minutes scale. The pair stays\n"
+            "the small-N side). The N and 4N jobs of a round run\n"
+            "back-to-back and the median per-round efficiency across\n"
+            "rounds is reported, because the shared host's spare CPU\n"
+            "drifts on a minutes scale. (Running the two sides\n"
+            "simultaneously on disjoint core sets was tried and rejected:\n"
+            "N+4N loaded cores saturate shared memory bandwidth and the\n"
+            "4N side absorbs most of the hit.) The pair stays\n"
             "inside the host's linear envelope: a pure-Python probe of\n"
             "the parse kernel shows per-core throughput collapsing ~1.5x\n"
             "when all 32 CPUs load (memory-bandwidth/turbo ceiling), so\n"

@@ -392,6 +392,88 @@ def to_rdfxml(triples: Iterable[Triple]) -> str:
     return "".join(out)
 
 
+def to_rdfxml_abbrev(triples: Iterable[Triple]) -> str:
+    """Abbreviated RDF/XML (reference: src/raptor_serialize_rdfxmla.c):
+    statements buffered and grouped by subject like the turtle writer's
+    abbrev model (src/raptor_abbrev.c); one node element per subject,
+    typed by its first rdf:type URI when that splits to an XML name;
+    remaining statements as property elements."""
+    triples = list(triples)
+    by_subj: "OrderedDict[str, List[Triple]]" = OrderedDict()
+    for t in triples:
+        by_subj.setdefault(t.subj, []).append(t)
+
+    ns_of: Dict[str, str] = {}
+
+    def prefix_for(ns: str) -> str:
+        if ns not in ns_of:
+            ns_of[ns] = "ns%d" % len(ns_of)
+        return ns_of[ns]
+
+    body: List[str] = []
+    for subj, ts in by_subj.items():
+        if subj.startswith("_:"):
+            subj_attr = 'rdf:nodeID="%s"' % _xml_attr(subj[2:])
+        else:
+            subj_attr = 'rdf:about="%s"' % _xml_attr(subj)
+        # typed node: first rdf:type with a splittable URI object
+        type_qname = None
+        rest: List[Triple] = []
+        for t in ts:
+            if (
+                type_qname is None
+                and t.pred == RDF_NS + "type"
+                and t.obj_kind == KIND_URI
+            ):
+                try:
+                    tns, tlocal = split_predicate(t.obj_lex)
+                    type_qname = (prefix_for(tns), tns, tlocal)
+                    continue
+                except ValueError:
+                    pass
+            rest.append(t)
+        if type_qname is not None:
+            tp, tns, tlocal = type_qname
+            elem = "%s:%s" % (tp, tlocal)
+            open_extra = ' xmlns:%s="%s"' % (tp, _xml_attr(tns))
+        else:
+            elem = "rdf:Description"
+            open_extra = ""
+        props: List[str] = []
+        for t in rest:
+            ns, local = split_predicate(t.pred)
+            p = prefix_for(ns)
+            open_tag = '<%s:%s xmlns:%s="%s"' % (p, local, p, _xml_attr(ns))
+            if t.obj_kind == KIND_URI:
+                props.append('%s rdf:resource="%s"/>' % (open_tag, _xml_attr(t.obj_lex)))
+            elif t.obj_kind == KIND_BLANK:
+                props.append('%s rdf:nodeID="%s"/>' % (open_tag, _xml_attr(t.obj_lex)))
+            else:
+                attrs = ""
+                if t.obj_lang:
+                    attrs += ' xml:lang="%s"' % _xml_attr(t.obj_lang)
+                if t.obj_datatype:
+                    attrs += ' rdf:datatype="%s"' % _xml_attr(t.obj_datatype)
+                props.append(
+                    "%s%s>%s</%s:%s>"
+                    % (open_tag, attrs, _xml_escape(t.obj_lex), p, local)
+                )
+        body.append(
+            "  <%s%s %s>\n%s  </%s>\n"
+            % (
+                elem,
+                open_extra,
+                subj_attr,
+                "".join("    %s\n" % p for p in props),
+                elem,
+            )
+        )
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<rdf:RDF xmlns:rdf="%s">\n%s</rdf:RDF>\n' % (RDF_NS, "".join(body))
+    )
+
+
 # --------------------------------------------------------------------------
 # RDF/JSON (resource-centric)
 # --------------------------------------------------------------------------
