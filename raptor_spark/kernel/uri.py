@@ -159,6 +159,78 @@ def resolve_uri(base_uri: Optional[str], reference_uri: str) -> str:
     return _unsplit(scheme, authority, path, ref.query, ref.fragment)
 
 
+def _common_base_length(first: str, second: str) -> int:
+    """Common whole-segment prefix length of two paths (reference:
+    raptor_uri_path_common_base_length)."""
+    common = 0
+    i = first.find("/")
+    while i >= 0:
+        seg_end = i + 1
+        if seg_end > len(second) or first[common:seg_end] != second[common:seg_end]:
+            break
+        common = seg_end
+        i = first.find("/", seg_end)
+    return common
+
+
+def _make_relative_path(from_path: str, to_path: str, suffix: str) -> str:
+    """'../'-climbing relative path + suffix (reference:
+    raptor_uri_path_make_relative_path, src/raptor_uri.c)."""
+    common = _common_base_length(from_path, to_path)
+    up_dirs = from_path.count("/", common)
+    last_slash = to_path.rfind("/")
+    to_dir = to_path[common : last_slash + 1] if last_slash >= common else ""
+    out = "../" * up_dirs + to_dir
+    if suffix:
+        # leading "." representing a directory is dropped when something
+        # precedes it (reference special case)
+        if out and suffix[0] == "." and (
+            len(suffix) == 1 or suffix[1] in "#?"
+        ):
+            suffix = suffix[1:]
+    return out + suffix
+
+
+def uri_to_relative(base_uri: Optional[str], reference_uri: str) -> str:
+    """Relative form of @reference_uri against @base_uri — the inverse of
+    resolution, used by the abbreviating serializers' @base output
+    (reference: raptor_uri_to_relative_counted_uri_string,
+    src/raptor_uri.c:1644-1846; unit vectors from its STANDALONE tests).
+    Falls back to the absolute URI when no relative form exists."""
+    if base_uri is None or not base_uri:
+        return reference_uri
+    if base_uri == reference_uri:
+        return ""
+    base = uri_parse(base_uri)
+    ref = uri_parse(reference_uri)
+    if base.scheme != ref.scheme or base.authority != ref.authority:
+        return reference_uri
+
+    suffix_parts = []
+    if ref.query is not None:
+        suffix_parts.append("?" + ref.query)
+    if ref.fragment is not None:
+        suffix_parts.append("#" + ref.fragment)
+    qf = "".join(suffix_parts)
+
+    if base.path is None:
+        if ref.path is not None:
+            return (ref.path or "") + qf
+        return reference_uri
+    slash = base.path.rfind("/")
+    if slash < 0 or ref.path is None or "/" not in ref.path:
+        return reference_uri
+    base_file = base.path[slash + 1 :]
+    ref_file = ref.path[ref.path.rfind("/") + 1 :]
+    if base.path == ref.path:
+        file = ""
+    elif base_file and not ref_file:
+        file = "."
+    else:
+        file = ref_file
+    return _make_relative_path(base.path, ref.path, file + qf)
+
+
 def _unsplit(
     scheme: Optional[str],
     authority: Optional[str],

@@ -70,7 +70,16 @@ def guess_format(text: str) -> str:
     stripped = head.lstrip()
     if stripped.startswith("<?xml") or "<rdf:RDF" in head:
         return "rdfxml"
-    if stripped.startswith("{"):
+    # RDF/JSON may open with /* */ or // comments (YAJL comment mode)
+    json_head = stripped
+    while json_head.startswith("/*") or json_head.startswith("//"):
+        if json_head.startswith("/*"):
+            end = json_head.find("*/")
+            json_head = json_head[end + 2 :].lstrip() if end >= 0 else ""
+        else:
+            nl = json_head.find("\n")
+            json_head = json_head[nl + 1 :].lstrip() if nl >= 0 else ""
+    if json_head.startswith("{"):
         return "json"
     has_directive = bool(re.search(r"(?mi)^\s*(@prefix|@base|prefix\s|base\s)", head))
     has_braces = re.search(r"(?m)(^|\s|>)\{", head) is not None

@@ -18,12 +18,18 @@ from raptor_spark.kernel import turtle as T
 from raptor_spark.kernel.compare import graphs_isomorphic
 from raptor_spark.kernel.terms import KIND_BLANK, KIND_LITERAL, KIND_URI, Triple
 
+from raptor_spark.kernel.uri import resolve_uri
+
 _uri = st.builds(
     lambda path, frag: "http://example.org/" + path + ("#" + frag if frag else ""),
     st.text(
         alphabet="abcdefgXYZ0129~!$&'()*+,;=:@%-._/é中", max_size=12
     ),
     st.text(alphabet="abcdef-._09", max_size=5),
+).map(
+    # parsers normalize dot segments on read (RFC3986, reference:
+    # raptor_rfc2396.c), so the input domain is normalized URIs
+    lambda u: resolve_uri(None, u)
 )
 _bnode_label = st.text(
     alphabet="abcXYZ0129_z.é", min_size=1, max_size=10
