@@ -431,6 +431,95 @@ FROM events GROUP BY user_id
 """
 
 
+def q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star entity linking over the transcript corpus itself:
+    mention detection (vectorized regex over turn text, no Python),
+    candidate generation via broadcast join against the entity
+    dictionary (customers with minted URIs), scoring by mention count,
+    best-candidate-per-conversation by deterministic rank."""
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    tr = tpch_transcripts(spark, sf_dir)
+    mentions = tr.select(
+        "conv_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"http://ex\.org/customer/(\d+)"), F.lit(1)
+            )
+        ).alias("custkey"),
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("custkey"),
+        F.concat(
+            F.lit("http://ex.org/entity/"),
+            F.md5(F.concat(F.lit("cust|"), F.col("c_name"))),
+        ).alias("entity_uri"),
+    )
+    cand = mentions.join(F.broadcast(cust), "custkey").groupBy(
+        "conv_id", "entity_uri"
+    ).agg(F.count(F.lit(1)).cast("long").alias("mentions"))
+    w = Window.partitionBy("conv_id").orderBy(
+        F.desc("mentions"), F.asc("entity_uri")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("conv_id", "entity_uri", "mentions")
+    )
+
+
+_KG_ENTITY_LINK_ORACLE = """
+SELECT 'ord-' || o_orderkey AS conv_id,
+       'http://ex.org/entity/' || md5('cust|' || c_name) AS entity_uri,
+       CAST(1 AS BIGINT) AS mentions
+FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def q_pred_histogram_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-key aggregation with explicit two-phase salting: predicates
+    are heavily skewed (6 hot keys over millions of rows — the rdf:type
+    shape the north rule calls out), so the partial aggregate spreads
+    each predicate over 16 salt buckets before the final combine."""
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    salted = triples.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("subj")), F.lit(16))
+    )
+    partial = salted.groupBy("pred", "_salt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        partial.groupBy("pred")
+        .agg(F.sum("c").cast("long").alias("n_statements"))
+    )
+
+
+_PRED_HISTOGRAM_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS k, l_linenumber, l_partkey,
+         CAST(l_quantity AS INT) AS qty
+  FROM lineitem
+),
+nli AS (SELECT COUNT(*) AS n FROM li),
+nord AS (SELECT COUNT(*) AS n FROM orders)
+SELECT 'http://ex.org/ns#status' AS pred,
+       CAST((SELECT n FROM nord) AS BIGINT) AS n_statements
+UNION ALL
+SELECT 'http://ex.org/ns#priority', (SELECT n FROM nord)
+UNION ALL
+SELECT 'http://ex.org/ns#customer', (SELECT n FROM nord)
+UNION ALL
+SELECT 'http://ex.org/ns#item', (SELECT n FROM nli)
+UNION ALL
+SELECT 'http://ex.org/ns#part', (SELECT n FROM nli)
+UNION ALL
+SELECT 'http://ex.org/ns#qty', (SELECT n FROM nli)
+"""
+
+
 def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming N-Quads sink: canonical line per statement, pure column
     expression (reference: src/raptor_serialize_ntriples.c:194-332). The
@@ -873,6 +962,8 @@ QUERIES = {
     "format_guess": q_format_guess,
     "uri_mint": q_uri_mint,
     "entity_link": q_entity_link,
+    "kg_entity_link": q_kg_entity_link,
+    "pred_histogram_salted": q_pred_histogram_salted,
     "serialize_grouped": q_serialize_grouped,
     "serialize_ntriples": q_serialize_ntriples,
     "serialize_roundtrip": q_serialize_roundtrip,
@@ -899,6 +990,8 @@ ORACLES = {
     "format_guess": _GUESS_ORACLE,
     "uri_mint": _URI_MINT_ORACLE,
     "entity_link": _ENTITY_LINK_ORACLE,
+    "kg_entity_link": _KG_ENTITY_LINK_ORACLE,
+    "pred_histogram_salted": _PRED_HISTOGRAM_ORACLE,
     "serialize_grouped": _SERIALIZE_ORACLE,
     "serialize_ntriples": _SERIALIZE_NT_ORACLE,
     "serialize_roundtrip": _SERIALIZE_RT_ORACLE,
