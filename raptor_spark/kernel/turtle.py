@@ -50,6 +50,15 @@ _WS = " \t\v\r\n"
 _RESERVED_ESCAPES = set("-_~.!$&'()*+,;=/?#@%")
 _HEX = set("0123456789abcdefABCDEF")
 
+_WS_RE = re.compile(r"(?:[ \t\v\r\n]|#[^\r\n]*)*")
+_IRI_SIMPLE_RE = re.compile(r'<([!#-;=?-\[\]_a-z~\x80-\U0010FFFF]*)>')
+# one name-token chunk: PN_CHARS|'.'|':' | %HH | \<reserved>; any char
+# > 0x7F counts as PN_CHARS_BASE (matches _is_pn_chars semantics)
+_NAME_RE = re.compile(
+    r"(?:[A-Za-z0-9_\-.:]|[^\x00-\x7F]|%[0-9A-Fa-f]{2}"
+    r"|\\[\-_~.!$&'()*+,;=/?#@%])*"
+)
+
 _NUM_RE = re.compile(
     r"""
     [-+]?(?:
@@ -136,19 +145,13 @@ class TurtleParser:
     # ----- low-level scanning -------------------------------------------
 
     def _skip_ws(self) -> None:
-        n = len(self.text)
-        while self.pos < n:
-            c = self.text[self.pos]
-            if c == "\n":
-                self.line += 1
-                self.pos += 1
-            elif c in " \t\v\r":
-                self.pos += 1
-            elif c == "#":
-                while self.pos < n and self.text[self.pos] not in "\r\n":
-                    self.pos += 1
-            else:
-                break
+        # one regex hop over whitespace+comments (behavior-identical to
+        # the per-char loop; hot path — called between every token)
+        m = _WS_RE.match(self.text, self.pos)
+        end = m.end()
+        if end != self.pos:
+            self.line += self.text.count("\n", self.pos, end)
+            self.pos = end
 
     def _peek(self) -> str:
         return self.text[self.pos] if self.pos < len(self.text) else ""
@@ -169,6 +172,11 @@ class TurtleParser:
     def _read_iri_raw(self) -> str:
         """Scan '<...>' and return the unescaped, UNresolved body."""
         assert self.text[self.pos] == "<"
+        # fast path: escape-free body with no chars the scanner polices
+        m = _IRI_SIMPLE_RE.match(self.text, self.pos)
+        if m is not None:
+            self.pos = m.end()
+            return m.group(1)
         self.pos += 1
         n = len(self.text)
         out: List[str] = []
@@ -348,28 +356,8 @@ class TurtleParser:
         turtle_lexer.l:196-200 — dots allowed interior only; ':' allowed in
         and at the end of the local part; PLX = %HH | \\<reserved>.
         """
-        n = len(self.text)
         start = self.pos
-        while self.pos < n:
-            c = self.text[self.pos]
-            if _is_pn_chars(c) or c in ".:":
-                self.pos += 1
-            elif c == "%":
-                if (
-                    self.pos + 2 < n
-                    and self.text[self.pos + 1] in _HEX
-                    and self.text[self.pos + 2] in _HEX
-                ):
-                    self.pos += 3
-                else:
-                    break
-            elif c == "\\":
-                if self.pos + 1 < n and self.text[self.pos + 1] in _RESERVED_ESCAPES:
-                    self.pos += 2
-                else:
-                    break
-            else:
-                break
+        self.pos = _NAME_RE.match(self.text, self.pos).end()
         tok = self.text[start : self.pos]
         # dots cannot end a name token — give them back
         while tok.endswith(".") and not tok.endswith("\\."):
@@ -390,18 +378,21 @@ class TurtleParser:
         """Expand a QNAME token to a URI (reference: raptor_qname.c:467,
         escape expansion turtle_common.c:246-340)."""
         # expand backslash escapes first, like the reference
-        out: List[str] = []
-        i = 0
-        n = len(tok)
-        while i < n:
-            c = tok[i]
-            if c == "\\" and i + 1 < n:
-                out.append(tok[i + 1])
-                i += 2
-            else:
-                out.append(c)
-                i += 1
-        name = "".join(out)
+        if "\\" not in tok:
+            name = tok
+        else:
+            out: List[str] = []
+            i = 0
+            n = len(tok)
+            while i < n:
+                c = tok[i]
+                if c == "\\" and i + 1 < n:
+                    out.append(tok[i + 1])
+                    i += 2
+                else:
+                    out.append(c)
+                    i += 1
+            name = "".join(out)
 
         if name.startswith(":"):
             prefix, local = None, name[1:]
