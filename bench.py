@@ -112,6 +112,21 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["kg_triples_per_sec"] = int(
             extra["kg_pipeline_rows"] / timings["kg_pipeline"]
         )
+    if extra.get("kg_pipeline_iceberg_rows") and timings.get("kg_pipeline_iceberg"):
+        extra["kg_iceberg_triples_per_sec"] = int(
+            extra["kg_pipeline_iceberg_rows"] / timings["kg_pipeline_iceberg"]
+        )
+    # surface the last measured N->4N scaling efficiency (BENCH/BASELINE.md,
+    # produced by `bench.py --scaling`) alongside the throughput numbers
+    try:
+        import re as _re
+
+        md = open(os.path.join(_REPO, "BENCH", "BASELINE.md")).read()
+        m = _re.search(r"= (\d+\.\d+)\*\*", md)
+        if m:
+            extra["scaling_efficiency_md"] = float(m.group(1))
+    except OSError:
+        pass
     spark.stop()
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     return {
