@@ -753,6 +753,93 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct near-dup pipeline: MinHash-LSH banding generates
+    candidate pairs (no O(n^2) join), then exact n-gram Jaccard verifies
+    only those candidates. At 100 TB the verify stage touches a vanishing
+    fraction of the pair space while recall is bounded by the band count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+    )
+    bands = sh.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+        "sh",
+    ).groupBy("doc_id", "band").agg(
+        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))))
+        .alias("mh")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return j.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
+    )
+
+
+_DEDUP_CASCADE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+bands AS (
+  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || '|' || sh)) AS mh
+  FROM sh, UNNEST([0, 1, 2, 3]) AS bb(band)
+  GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(floor(common * 1000.0 / (sa.sz + sb.sz - common)) AS BIGINT)
+           AS jaccard_x1000
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, distinct-token ratio, mean token
     length, repetition flag (integer-stabilized for comparison)."""
@@ -970,6 +1057,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_cascade": q_dedup_cascade,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -998,6 +1086,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
+    "dedup_cascade": _DEDUP_CASCADE_ORACLE,
     "text_quality": _QUALITY_ORACLE,
     "text_langid": _LANGID_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,

@@ -49,6 +49,10 @@ FORMAT_BUCKETS = {
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
+# bump when the synthesis logic changes: versions the materialized
+# /tmp table path so stale caches can never be read
+GEN_VERSION = 2
+
 
 def _format_col(orderkey):
     b = F.pmod(orderkey, F.lit(10))
@@ -380,7 +384,9 @@ def materialize_transcripts(
 
     name = os.path.basename(sf_dir.rstrip("/"))
     suffix = f"_x{replicate}" if replicate > 1 else ""
-    out = out_dir or f"/tmp/raptor_spark_transcripts_{name}{suffix}"
+    out = out_dir or (
+        f"/tmp/raptor_spark_transcripts_v{GEN_VERSION}_{name}{suffix}"
+    )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         base = tpch_transcripts(spark, sf_dir)
         if replicate > 1:
