@@ -930,6 +930,104 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# multimodal binary columns (decode / features / frame sampling stubs with
+# real Spark plumbing — raptor_spark/functions/multimodal.py)
+# --------------------------------------------------------------------------
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary media column -> typed metadata via an Arrow-batched
+    map-only stage (decode kernel stubbed deterministically; the oracle
+    reconstructs the metadata from the payload's md5 derivation)."""
+    from raptor_spark.functions.multimodal import decode_media, synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_media(synth_media(docs)).select(
+        "doc_id", "media_type", "byte_len", "width", "height", "channels", "ok"
+    )
+
+
+_MEDIA_DECODE_ORACLE = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+  FROM documents
+),
+b AS (
+  SELECT doc_id, media_type,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+         (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1
+  FROM m
+)
+SELECT doc_id, media_type, CAST(64 AS INT) AS byte_len,
+       CAST(b0 % 64 + 1 AS INT) AS width,
+       CAST(b1 % 64 + 1 AS INT) AS height,
+       CAST(CASE media_type WHEN 'audio' THEN 1 ELSE 3 END AS INT)
+           AS channels,
+       TRUE AS ok
+FROM b
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic feature extraction over the binary payload
+    (sha256-derived stand-in for an embedding model), projected to
+    scalar columns for exact oracle comparison."""
+    from raptor_spark.functions.multimodal import extract_features, synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = extract_features(synth_media(docs))
+    return feats.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("feature"), i + 1).cast("double").alias("f%d" % i)
+            for i in range(4)
+        ],
+    )
+
+
+_MEDIA_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         sha256(repeat(md5(text), 4)) AS s
+  FROM documents
+),
+d AS (
+  SELECT doc_id, s,
+         ((strpos('0123456789abcdef', substr(s, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(s, 2, 1)) - 1) / 256.0 AS f0,
+         ((strpos('0123456789abcdef', substr(s, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(s, 4, 1)) - 1) / 256.0 AS f1,
+         ((strpos('0123456789abcdef', substr(s, 5, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(s, 6, 1)) - 1) / 256.0 AS f2,
+         ((strpos('0123456789abcdef', substr(s, 7, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(s, 8, 1)) - 1) / 256.0 AS f3
+  FROM m
+)
+SELECT doc_id, f0, f1, f2, f3 FROM d
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: video payloads exploded to per-frame rows inside
+    the Python stage (one row per 16-byte 'frame')."""
+    from raptor_spark.functions.multimodal import sample_frames, synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(synth_media(docs)).select("doc_id", "frame_offset")
+
+
+_MEDIA_FRAMES_ORACLE = """
+SELECT doc_id, CAST(off AS INT) AS frame_offset
+FROM documents, UNNEST([0, 16, 32, 48]) AS f(off)
+WHERE CAST(doc_id % 3 AS INT) = 2
+"""
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over the embedding column: query set =
     vec_id < 8, ranked among all candidates. Baseline ANN path; the
@@ -1061,6 +1159,9 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "doc_fingerprint": q_doc_fingerprint,
+    "media_decode": q_media_decode,
+    "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "embedding_topk": q_embedding_topk,
     "ann_lsh": q_ann_lsh,
 }
@@ -1090,6 +1191,9 @@ ORACLES = {
     "text_quality": _QUALITY_ORACLE,
     "text_langid": _LANGID_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
+    "media_decode": _MEDIA_DECODE_ORACLE,
+    "media_features": _MEDIA_FEATURES_ORACLE,
+    "media_frames": _MEDIA_FRAMES_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
     "ann_lsh": _ANN_LSH_ORACLE,
 }

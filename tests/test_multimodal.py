@@ -1,0 +1,61 @@
+"""Multimodal binary-column plumbing: schemas, Arrow batch shapes,
+deterministic stub kernels, and the real-codec gate."""
+
+import pytest
+
+from raptor_spark.functions import multimodal as MM
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return MM.synth_media(docs).cache()
+
+
+def test_synth_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,media_type:string,payload:binary,byte_len:int>"
+    )
+    rows = media.limit(5).collect()
+    assert all(len(r.payload) == 64 and r.byte_len == 64 for r in rows)
+
+
+def test_decode_metadata_deterministic(media):
+    out = MM.decode_media(media)
+    rows = out.collect()
+    assert all(r.ok for r in rows)
+    assert all(1 <= r.width <= 64 and 1 <= r.height <= 64 for r in rows)
+    assert {r.channels for r in rows} == {1, 3}
+    # rerun -> identical (deterministic across retries)
+    again = {r.doc_id: (r.width, r.height) for r in MM.decode_media(media).collect()}
+    assert all(again[r.doc_id] == (r.width, r.height) for r in rows)
+
+
+def test_real_codec_gate(media):
+    with pytest.raises(Exception) as ei:
+        MM.decode_media(media, use_real_codec=True).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_feature_shape(media):
+    rows = MM.extract_features(media).limit(10).collect()
+    for r in rows:
+        assert len(r.feature) == MM.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+
+
+def test_resize_rewrites_metadata(media):
+    out = MM.resize_media(media, 224, 224).limit(5).collect()
+    assert all(r.width == 224 and r.height == 224 for r in out)
+    assert all(len(r.payload) == 64 for r in out)
+
+
+def test_frame_sampling_only_video(media):
+    frames = MM.sample_frames(media, every_n_bytes=16)
+    rows = frames.collect()
+    assert rows and all(r.frame_offset in (0, 16, 32, 48) for r in rows)
+    assert all(len(r.frame) == 16 for r in rows)
+    n_video = media.filter("media_type = 'video'").count()
+    assert len(rows) == 4 * n_video
