@@ -840,6 +840,143 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup fingerprints: 16-bit sign-sum over the document's
+    shingle hashes (bit b set when more shingle hashes have bit b than
+    not). Identical fingerprints -> near-dup candidate groups. One
+    explode + one aggregation — no pair join at all, the cheapest dedup
+    modality at scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+    )
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10).cast("long")
+    bits = sh.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias("b%d" % b)
+        for b in range(16)
+    ]
+    agg = bits.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(16):
+        term = F.when(F.col("b%d" % b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    fps = agg.select("doc_id", fp.cast("long").alias("simhash"))
+    return (
+        fps.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+hashes AS (
+  SELECT doc_id,
+         CAST(
+           (strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substr(md5(sh), 4, 1)) - 1)
+         AS BIGINT) AS h
+  FROM sh
+),
+votes AS (
+  SELECT doc_id, b.b,
+         SUM(CASE WHEN (h // (1 << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashes, UNNEST(range(0, 16)) AS b(b)
+  GROUP BY doc_id, b.b
+),
+fps AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
+             AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
+FROM fps GROUP BY simhash HAVING COUNT(*) > 1
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, LSH-bucket cascade: sign-bit
+    buckets restrict the candidate space, exact cosine verifies within
+    buckets (threshold 0.35 — the synthetic embeddings are near-orthogonal,
+    so the tail above 0.35 is the "near-duplicate" set). The pair join is a plain equi-join on the
+    bucket key — never a cross join."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    b = F.lit(0)
+    for i, d in enumerate((0, 7, 19, 31)):
+        b = b + F.when(F.element_at(F.col("e"), d + 1) > 0, F.lit(2**i)).otherwise(
+            F.lit(0)
+        )
+    bucketed = emb.select("vec_id", "e", b.cast("int").alias("bucket"))
+    joined = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.transform(F.col(side + ".e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        joined.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select(
+            "vec_a", "vec_b", F.floor(F.col("cos") * 1000).cast("long").alias("cos_x1000")
+        )
+    )
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[32] > 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e))
+              * sqrt(list_dot_product(b.e, b.e))) AS cos
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
+FROM pairs WHERE cos >= 0.35
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, distinct-token ratio, mean token
     length, repetition flag (integer-stabilized for comparison)."""
@@ -1156,6 +1293,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_cascade": q_dedup_cascade,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_neardup": q_embedding_neardup,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1188,6 +1327,8 @@ ORACLES = {
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
     "dedup_cascade": _DEDUP_CASCADE_ORACLE,
+    "dedup_simhash": _SIMHASH_ORACLE,
+    "embedding_neardup": _EMB_NEARDUP_ORACLE,
     "text_quality": _QUALITY_ORACLE,
     "text_langid": _LANGID_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
