@@ -8,8 +8,10 @@ types wherever possible, floats stabilized before comparison.
 Conventions:
 - every computed column aliased the same in Spark and SQL;
 - deterministic tie-breaks on every rank/order;
-- no Python UDF in any of these paths — pure column expressions (the only
-  Python stage in the engine is the parse kernel inside kg_* queries).
+- relational operators are pure column expressions (whole-stage codegen);
+  Python appears only as Arrow-batched kernels where the work is
+  genuinely non-relational (the parse kernels inside kg_*, the
+  serializer kernels, the stubbed media codecs).
 """
 
 from __future__ import annotations
