@@ -801,7 +801,18 @@ class _Parser:
 
     # -- driver ----------------------------------------------------------------
     def run(self, text):
-        data = text.encode("utf-8", "surrogateescape") if isinstance(text, str) else text
+        try:
+            # surrogatepass: lone surrogates (however they got into the
+            # string) become bytes expat will reject as malformed UTF-8 —
+            # an error record, not a crash
+            data = (
+                text.encode("utf-8", "surrogatepass")
+                if isinstance(text, str)
+                else text
+            )
+        except UnicodeEncodeError as e:
+            self.errors.append({"line": 0, "message": "encoding error: %s" % e})
+            return
         try:
             self.p.Parse(data, True)
         except _Abort:

@@ -1,0 +1,38 @@
+"""Parser robustness fuzzing (the reference ships a libFuzzer harness,
+tests/fuzz/fuzz_parser.c — same contract here: arbitrary input must
+produce triples and/or error records, never an uncaught exception)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raptor_spark.operators.parse import guess_format, parse_one
+
+FORMATS = ["ntriples", "nquads", "turtle", "trig", "rdfxml", "json", "guess"]
+
+_fragments = st.sampled_from(
+    [
+        "<http://a/> ", '"lit', "@prefix ", "_:b ", "( ", "[ ", "{ ", "} ",
+        "^^", "@en", " . ", "\\u00", "\\", "<rdf:RDF", "rdf:about=", "<!--",
+        '{"triples": [', '"value":', "#comment\n", "\x00", "\ud800", "é中",
+        "%GG", "PREFIX x: <u>", "a ", ";\n", "1.5e3 ", "'''q''' ",
+    ]
+)
+_soup = st.lists(_fragments, max_size=24).map("".join)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_soup, st.sampled_from(FORMATS))
+def test_parse_never_raises(text, fmt):
+    triples, errors = parse_one(text, fmt, "http://base/")
+    assert isinstance(triples, list) and isinstance(errors, list)
+    for e in errors:
+        assert "message" in e
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=200))
+def test_parse_random_bytes_never_raises(data):
+    text = data.decode("utf-8", "surrogateescape")
+    fmt = guess_format(text)
+    triples, errors = parse_one(text, fmt, "http://base/")
+    assert isinstance(triples, list) and isinstance(errors, list)
