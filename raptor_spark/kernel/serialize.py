@@ -110,7 +110,9 @@ def _qname(uri: str, namespaces: Dict[str, str]) -> Optional[str]:
     raptor_turtle_writer qname lookup via raptor_namespaces_find)."""
     best = None
     for prefix, ns in namespaces.items():
-        if uri.startswith(ns) and len(ns) > (len(namespaces.get(best, "")) if best else 0):
+        if uri.startswith(ns) and len(ns) > (
+            len(namespaces.get(best, "")) if best is not None else 0
+        ):
             local = uri[len(ns):]
             if local == "" or (_PN_LOCAL_RE.match(local) and not local.endswith(".")):
                 best = prefix

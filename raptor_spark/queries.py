@@ -91,21 +91,22 @@ FROM li JOIN fmt ON li.k = fmt.k
 """
 
 
-def q_kg_pipeline_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kg_pipeline_iceberg(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
     """Same pipeline, but reading the transcripts from a materialized
     parquet table (the input_hint's Iceberg-table shape) instead of
     re-synthesizing inside the job — the deployment-shaped path: the scan
     parallelizes by file splits, prunes columns, and the only exchanges
-    left are conv_id reassembly and dedup."""
-    import os
+    left are conv_id reassembly and dedup.
 
+    ``replicate`` multiplies the input (distinct conv_ids) so scaling
+    benches can amortize fixed costs; only bench.py passes it — the
+    correctness driver calls (spark, sf_dir) and always gets replicate=1,
+    matching the DuckDB oracle."""
     from raptor_spark.pipeline import build_graph
     from raptor_spark.sources.transcripts import materialize_transcripts
 
-    # bench-only knob: replicate the input table (distinct conv_ids) so
-    # scaling runs amortize fixed costs; never set by the correctness
-    # driver, so the DuckDB oracle always sees replicate=1
-    replicate = int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1"))
     path = materialize_transcripts(spark, sf_dir, replicate=replicate)
     transcripts = spark.read.parquet(path)
     triples, _errors = build_graph(transcripts)

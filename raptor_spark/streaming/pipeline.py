@@ -47,9 +47,21 @@ def stream_build_graph(
     )
 
     def process(batch_df, batch_id: int):
+        from pyspark.sql import functions as F
+
         triples, errors = build_graph(batch_df, base_uri_col=base_uri_col)
-        triples.write.mode("append").parquet(os.path.join(out_dir, "triples"))
-        errors.write.mode("append").parquet(os.path.join(out_dir, "errors"))
+        # idempotent replay: each micro-batch owns its batch_id partition
+        # and dynamic-partition overwrite replaces exactly that partition,
+        # so a crash between the two writes + restart re-lands the same
+        # batch instead of double-appending (exactly-once, not at-least-once)
+        for df, sub in ((triples, "triples"), (errors, "errors")):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(os.path.join(out_dir, sub))
+            )
 
     q = (
         stream.writeStream.foreachBatch(process)
