@@ -42,8 +42,11 @@ HEADLINE = [
     "entity_link",
     "dedup_minhash",
     "dedup_jaccard",
+    "dedup_simhash",
     "embedding_topk",
+    "ann_topk",
     "serialize_grouped",
+    "serialize_ntriples",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
@@ -124,6 +127,18 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["kg_iceberg_triples_per_sec"] = int(
             extra["kg_pipeline_iceberg_rows"] / timings["kg_pipeline_iceberg"]
         )
+    # sub-quadratic evidence for the LSH candidate spaces: emitted pairs /
+    # candidate evaluations vs the all-pairs counts they replace
+    try:
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        extra["all_pairs_docs"] = n_docs * (n_docs - 1) // 2
+        extra["all_pairs_vecs"] = n_vecs * (n_vecs - 1) // 2
+        extra["ann_lsh_candidate_pairs"] = sum(
+            r.candidate_pairs for r in QUERIES["ann_lsh"](spark, sf_dir).collect()
+        )
+    except Exception:
+        pass
     # surface the last measured N->4N scaling efficiency (BENCH/BASELINE.md,
     # produced by `bench.py --scaling`) alongside the throughput numbers
     try:

@@ -647,26 +647,52 @@ def _shingles(col, n=3):
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidates: word-3-gram shingles ->
-    4 md5-salted minhash bands -> bucket join on any matching band.
-    Scale path for dedup (no O(n^2) pairs; the band join is the only
-    shuffle and salts spread hot buckets)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+#: LSH banding parameters shared by dedup_minhash / dedup_cascade. b=8
+#: bands of r=2 concatenated minhashes: P(candidate) = 1-(1-j^2)^8, the
+#: classic b x r S-curve (steep around j ~ 0.45). r >= 2 matters at scale:
+#: a 1-row band degenerates to "any shared min-shingle", which buckets
+#: boilerplate-heavy corpora into giant clusters.
+_LSH_BANDS = 8
+_LSH_ROWS = 2
+#: hard cap on docs per (band, signature) bucket: an oversized bucket is
+#: near-identical boilerplate whose k^2 pair fan-out would dominate the
+#: shuffle at corpus scale; such clusters are better handled by the exact
+#: dedup_exact path, so LSH drops them instead of emitting k^2 rows.
+_LSH_BUCKET_CAP = 50
+
+
+def _minhash_bands(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, band, mh): banded b x r minhash signatures
+    with the per-bucket size cap applied. One explode + one aggregation;
+    the window count is over the (band, mh) partitioning the pair join
+    reuses, so the cap adds no extra exchange."""
+    salt = lambda r: F.md5(
+        F.concat(
+            (F.col("band") * _LSH_ROWS + r).cast("string"), F.lit("|"), F.col("sh")
+        )
     )
-    bands = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(4)])
-        ).alias("band"),
-        "sh",
-    ).groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))))
-        .alias("mh")
+    bands = (
+        sh.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(b) for b in range(_LSH_BANDS)])).alias("band"),
+            "sh",
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat(*[F.min(salt(r)) for r in range(_LSH_ROWS)]).alias("mh")
+        )
     )
-    pairs = (
+    w = Window.partitionBy("band", "mh")
+    return (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= _LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
+
+
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
+    bands = _minhash_bands(sh)
+    return (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -674,16 +700,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.mh") == F.col("b.mh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs
 
 
-_MINHASH_ORACLE = """
-WITH toks AS (
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: word-3-gram shingles ->
+    8 bands x 2-row md5-minhash signatures -> bucket join on any matching
+    band, with oversized buckets capped (see _LSH_BUCKET_CAP). Scale path
+    for dedup: no O(n^2) pairs, the band join is the only shuffle, and the
+    cap bounds the worst bucket's fan-out at corpus scale."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+    )
+    return _minhash_pairs(sh)
+
+
+# shared CTE prefix: shingles -> capped b x r band signatures (kept in
+# lockstep with _minhash_bands: 8 bands x 2 rows, bucket cap 50)
+_BANDS_SQL = """
+toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 sh AS (
@@ -691,24 +729,58 @@ sh AS (
          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
   FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
 ),
-bands AS (
-  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || '|' || sh)) AS mh
-  FROM sh, UNNEST([0, 1, 2, 3]) AS bb(band)
+bands0 AS (
+  SELECT doc_id, band,
+         MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || sh))
+           || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || sh)) AS mh
+  FROM sh, UNNEST(range(0, 8)) AS bb(band)
   GROUP BY doc_id, band
+),
+bands AS (
+  SELECT doc_id, band, mh
+  FROM (SELECT doc_id, band, mh,
+               COUNT(*) OVER (PARTITION BY band, mh) AS bsz
+        FROM bands0)
+  WHERE bsz <= 50
 )
+"""
+
+_MINHASH_ORACLE = (
+    "WITH "
+    + _BANDS_SQL
+    + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
 """
+)
+
+
+#: drop shingles occurring in more than this many documents before the
+#: inverted-index self-join. The join is quadratic in per-shingle document
+#: frequency, so one stop-shingle ("of the and") at corpus scale explodes
+#: it; high-DF shingles also carry no near-dup signal (they are corpus
+#: boilerplate). Jaccard is then computed over the informative-shingle
+#: sets on BOTH sides of the ratio — a consistent semantic, not a biased
+#: estimate of full-set Jaccard.
+_SHINGLE_DF_CAP = 100
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification of near-dup candidates: exact overlap
     of distinct word-3-gram shingle sets over a shingle-inverted index
-    (candidate pairs from shared shingles, never a cross join)."""
+    (candidate pairs from shared shingles, never a cross join). Shingles
+    with document frequency > _SHINGLE_DF_CAP are dropped first, which
+    bounds the self-join's worst key at DF_CAP^2 rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
+    sh_all = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+    )
+    wdf = Window.partitionBy("sh")
+    sh = (
+        sh_all.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .drop("df")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -736,9 +808,14 @@ _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
-sh AS (
+sh_all AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
   FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sh AS (
+  SELECT doc_id, sh
+  FROM (SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh_all)
+  WHERE df <= 100
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
@@ -765,25 +842,7 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
-    bands = sh.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
-        "sh",
-    ).groupBy("doc_id", "band").agg(
-        F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("sh"))))
-        .alias("mh")
-    )
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _minhash_pairs(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -807,19 +866,10 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_CASCADE_ORACLE = """
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
-),
-bands AS (
-  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || '|' || sh)) AS mh
-  FROM sh, UNNEST([0, 1, 2, 3]) AS bb(band)
-  GROUP BY doc_id, band
-),
+_DEDUP_CASCADE_ORACLE = (
+    "WITH "
+    + _BANDS_SQL
+    + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -841,39 +891,74 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """
+)
+
+#: SimHash width and banding: 60 fingerprint bits (15 md5 hex chars —
+#: stays inside a signed 64-bit lane on both engines) split into 4 blocks
+#: of 15. By pigeonhole, any pair at Hamming distance <= 3 shares at least
+#: one full block, so the candidate join is a plain equi-join on
+#: (block_id, block_value) — no pair enumeration — and the exact
+#: bit_count(xor) verify touches candidates only.
+_SIMHASH_BITS = 60
+_SIMHASH_BLOCKS = 4
+_SIMHASH_MAX_HAMMING = 3
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup fingerprints: 16-bit sign-sum over the document's
-    shingle hashes (bit b set when more shingle hashes have bit b than
-    not). Identical fingerprints -> near-dup candidate groups. One
-    explode + one aggregation — no pair join at all, the cheapest dedup
-    modality at scale."""
+    """SimHash near-dup pairs: 60-bit sign-sum fingerprint over the
+    document's shingle hashes, 4x15-bit block banding for candidates
+    (Hamming <= 3 guarantees a shared block), exact Hamming verify.
+    The fingerprint is one aggregation pass (60 conditional sums with
+    map-side combine); candidates come from an equi-join on block value,
+    never an all-pairs comparison."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
-    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 4), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
     bits = sh.select("doc_id", h.alias("h"))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias("b%d" % b)
-        for b in range(16)
+        for b in range(_SIMHASH_BITS)
     ]
     agg = bits.groupBy("doc_id").agg(*votes)
     fp = None
-    for b in range(16):
+    for b in range(_SIMHASH_BITS):
         term = F.when(F.col("b%d" % b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     fps = agg.select("doc_id", fp.cast("long").alias("simhash"))
-    return (
-        fps.groupBy("simhash")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.min("doc_id").alias("rep_doc_id"),
+    width = _SIMHASH_BITS // _SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_SIMHASH_BLOCKS)])
+        ).alias("blk"),
+    ).withColumn(
+        "blk_val", F.expr(f"shiftright(simhash, blk * {width}) & {mask}")
+    )
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("n_docs") > 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cand.filter(ham <= _SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
 
 
@@ -887,97 +972,173 @@ sh AS (
 ),
 hashes AS (
   SELECT doc_id,
-         CAST(
-           (strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) * 4096
-         + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 256
-         + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 16
-         + (strpos('0123456789abcdef', substr(md5(sh), 4, 1)) - 1)
-         AS BIGINT) AS h
+         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
   FROM sh
 ),
 votes AS (
   SELECT doc_id, b.b,
-         SUM(CASE WHEN (h // (1 << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-  FROM hashes, UNNEST(range(0, 16)) AS b(b)
+         SUM(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashes, UNNEST(range(0, 60)) AS b(b)
   GROUP BY doc_id, b.b
 ),
 fps AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN v > 0 THEN (1 << b) ELSE 0 END) AS BIGINT)
-             AS simhash
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, blk.blk,
+         (simhash >> CAST(blk.blk * 15 AS INT)) & 32767 AS blk_val
+  FROM fps, UNNEST(range(0, 4)) AS blk(blk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fp_a, b.simhash AS fp_b
+  FROM blocks a JOIN blocks b
+    ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
 )
-SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS rep_doc_id
-FROM fps GROUP BY simhash HAVING COUNT(*) > 1
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
 """
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates, LSH-bucket cascade: sign-bit
-    buckets restrict the candidate space, exact cosine verifies within
-    buckets (threshold 0.35 — the synthetic embeddings are near-orthogonal,
-    so the tail above 0.35 is the "near-duplicate" set). The pair join is a plain equi-join on the
-    bucket key — never a cross join."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
-    )
-    b = F.lit(0)
-    for i, d in enumerate((0, 7, 19, 31)):
-        b = b + F.when(F.element_at(F.col("e"), d + 1) > 0, F.lit(2**i)).otherwise(
-            F.lit(0)
-        )
-    bucketed = emb.select("vec_id", "e", b.cast("int").alias("bucket"))
-    joined = (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    )
+#: sign-bit LSH for embeddings: _EMB_TABLES independent hash tables, each
+#: keyed by _EMB_BITS sign bits over a disjoint slice of dimensions. For
+#: isotropic vectors a table key collides with probability ~2^-_EMB_BITS,
+#: so the candidate space is ~N^2 * _EMB_TABLES / 2^_EMB_BITS — at 8 bits
+#: x 4 tables, a 64x reduction vs all-pairs; recall comes from the OR over
+#: tables (a true near-dup agrees on most sign bits, so the chance all 4
+#: disjoint 8-bit slices break is small). Oversized buckets (degenerate
+#: regions) are capped like the minhash path.
+_EMB_TABLES = 4
+_EMB_BITS = 8
+_EMB_BUCKET_CAP = 200
+
+
+def _emb_cos(a: str, b: str):
     dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y),
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(
+    norm = lambda c: F.sqrt(
         F.aggregate(
-            F.transform(F.col(side + ".e"), lambda x: x * x),
+            F.transform(F.col(c), lambda x: x * x),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    cos = dot / (norm("a") * norm("b"))
+    return dot / (norm(a) * norm(b))
+
+
+def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
+    """(vec_id, e) -> (vec_id, tab, bucket): sign-bit keys per table,
+    bucket-size cap applied on the (tab, bucket) partitioning the
+    candidate join reuses."""
+    tabs = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(t) for t in range(_EMB_TABLES)])).alias("tab"),
+        "e",
+    )
+    key = F.lit(0)
+    for d in range(_EMB_BITS):
+        key = key + F.when(
+            F.element_at(F.col("e"), F.col("tab") * _EMB_BITS + d + 1) > 0,
+            F.lit(2**d),
+        ).otherwise(F.lit(0))
+    bucketed = tabs.select("vec_id", "tab", key.cast("int").alias("bucket"))
+    w = Window.partitionBy("tab", "bucket")
     return (
-        joined.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.35)
-        .select(
-            "vec_a", "vec_b", F.floor(F.col("cos") * 1000).cast("long").alias("cos_x1000")
-        )
+        bucketed.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= _EMB_BUCKET_CAP)
+        .drop("bsz")
     )
 
 
-_EMB_NEARDUP_ORACLE = """
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN embedding[32] > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM embeddings
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates, LSH-bucket cascade: 4 tables of
+    8 sign-bit keys over disjoint dimension slices restrict the candidate
+    space (see _EMB_TABLES/_EMB_BITS), ids-only pair dedup across tables,
+    then exact cosine verifies candidates (threshold 0.35 — the synthetic
+    embeddings are near-orthogonal, so the tail above 0.35 is the
+    "near-duplicate" set). Every join is a plain equi-join; the verify
+    stage re-fetches vectors by id so the wide arrays never ride through
+    the bucket shuffle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    bucketed = _emb_lsh_buckets(emb)
+    cand = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.tab") == F.col("b.tab"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")), "vec_b")
+        .select("vec_a", "vec_b", _emb_cos("ea", "eb").alias("cos"))
+    )
+    return pairs.filter(F.col("cos") >= 0.35).select(
+        "vec_a", "vec_b", F.floor(F.col("cos") * 1000).cast("long").alias("cos_x1000")
+    )
+
+
+def _emb_bucket_sql_key() -> str:
+    """SQL expression for the per-table sign-bit key (dims are 1-indexed
+    in DuckDB; tab comes from an UNNEST alias)."""
+    terms = [
+        f"(CASE WHEN e[tab.tab * 8 + {d + 1}] > 0 THEN {2 ** d} ELSE 0 END)"
+        for d in range(_EMB_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_EMB_BUCKETS_SQL = f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bucketed0 AS (
+  SELECT vec_id, CAST(tab.tab AS INT) AS tab,
+         CAST({_emb_bucket_sql_key()} AS INT) AS bucket
+  FROM e, UNNEST(range(0, 4)) AS tab(tab)
+),
+bucketed AS (
+  SELECT vec_id, tab, bucket
+  FROM (SELECT vec_id, tab, bucket,
+               COUNT(*) OVER (PARTITION BY tab, bucket) AS bsz
+        FROM bucketed0)
+  WHERE bsz <= 200
+)
+"""
+
+_EMB_NEARDUP_ORACLE = (
+    "WITH "
+    + _EMB_BUCKETS_SQL
+    + """,
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         list_dot_product(a.e, b.e)
-           / (sqrt(list_dot_product(a.e, a.e))
-              * sqrt(list_dot_product(b.e, b.e))) AS cos
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b,
+         list_dot_product(ea.e, eb.e)
+           / (sqrt(list_dot_product(ea.e, ea.e))
+              * sqrt(list_dot_product(eb.e, eb.e))) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.vec_a
+              JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, CAST(floor(cos * 1000) AS BIGINT) AS cos_x1000
 FROM pairs WHERE cos >= 0.35
 """
+)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,40 +1394,125 @@ FROM (SELECT query_id, neighbor_id,
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN scale path: sign-bit bucket over 4 fixed
-    projection dims, candidates restricted to the same bucket (turns the
-    O(n^2) similarity join into a per-bucket join)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    e = F.col("embedding")
-    b = F.lit(0)
-    for i, d in enumerate((0, 7, 19, 31)):
-        b = b + F.when(F.element_at(e, d + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
-    # materialize the bucket column first so the pair join is a plain
-    # equi-join (shuffle hash / sort-merge), never a BNL cross join
-    bucketed = emb.select("vec_id", b.cast("int").alias("bucket"))
-    a_side = bucketed.alias("a")
-    b_side = bucketed.alias("b")
-    joined = a_side.join(b_side, "bucket").filter(
-        F.col("a.vec_id") < F.col("b.vec_id")
+    """LSH candidate-space diagnostic for the ANN path: per (table,
+    bucket) candidate-pair counts under the same 4-table x 8-sign-bit
+    scheme embedding_neardup uses. The sum over this table is exactly the
+    number of cosine evaluations the bucketed path pays — the evidence
+    that the candidate space stays sub-quadratic. (The usable ANN query
+    is ann_topk below.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
-    return joined.groupBy("bucket").agg(
+    bucketed = _emb_lsh_buckets(emb)
+    joined = (
+        bucketed.alias("a")
+        .join(bucketed.alias("b"), ["tab", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    return joined.groupBy("tab", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("candidate_pairs")
     )
 
 
-_ANN_LSH_ORACLE = """
-WITH bucketed AS (
-  SELECT vec_id,
-         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-       + (CASE WHEN embedding[8] > 0 THEN 2 ELSE 0 END)
-       + (CASE WHEN embedding[20] > 0 THEN 4 ELSE 0 END)
-       + (CASE WHEN embedding[32] > 0 THEN 8 ELSE 0 END) AS bucket
-  FROM embeddings
-)
-SELECT CAST(a.bucket AS INT) AS bucket, COUNT(*) AS candidate_pairs
+_ANN_LSH_ORACLE = (
+    "WITH "
+    + _EMB_BUCKETS_SQL
+    + """
+SELECT a.tab, CAST(a.bucket AS INT) AS bucket, COUNT(*) AS candidate_pairs
 FROM bucketed a JOIN bucketed b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-GROUP BY a.bucket
+  ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+GROUP BY a.tab, a.bucket
+"""
+)
+
+
+#: IVF-Flat coarse quantization: _IVF_CELLS seed vectors act as centroids
+#: (deterministic stand-in for offline k-means — at deployment the
+#: centroids are trained once and broadcast exactly the same way); every
+#: vector is assigned to its max-cosine cell, queries probe their
+#: _IVF_PROBES best cells and re-rank exactly inside them. Search cost
+#: per query ~ N * probes / cells instead of N.
+_IVF_CELLS = 16
+_IVF_PROBES = 2
+_ANN_K = 10
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: assign all vectors to max-cosine cells over a
+    broadcast 16-centroid codebook (one narrow pass, no shuffle), probe
+    the 2 best cells per query, exact cosine re-rank within the probed
+    cells. Returns (query_id, neighbor_id, rk) like embedding_topk, whose
+    brute-force ranks serve as the recall reference (tests/test_ann.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    seeds = F.broadcast(
+        emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+            F.col("vec_id").alias("cell"), F.col("e").alias("ce")
+        )
+    )
+    scored = emb.crossJoin(seeds).select(
+        "vec_id", "e", "cell", _emb_cos("e", "ce").alias("ccos")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    ranked = scored.withColumn("crk", F.row_number().over(wv))
+    assign = ranked.filter(F.col("crk") == 1).select(
+        "vec_id", "cell", F.col("e").alias("ne")
+    )
+    probe = (
+        ranked.filter((F.col("vec_id") < 8) & (F.col("crk") <= _IVF_PROBES))
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("e").alias("qe"))
+    )
+    cand = probe.join(assign, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _emb_cos("qe", "ne").alias("sim"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _ANN_K)
+        .select("query_id", "neighbor_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+_ANN_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+seeds AS (SELECT vec_id AS cell, e AS ce FROM e WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, e.e, s.cell,
+         list_dot_product(e.e, s.ce)
+           / (sqrt(list_dot_product(e.e, e.e))
+              * sqrt(list_dot_product(s.ce, s.ce))) AS ccos
+  FROM e, seeds s
+),
+ranked AS (
+  SELECT vec_id, e, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cell ASC) AS crk
+  FROM scored
+),
+assign AS (SELECT vec_id, cell, e AS ne FROM ranked WHERE crk = 1),
+probe AS (SELECT vec_id AS query_id, cell, e AS qe
+          FROM ranked WHERE vec_id < 8 AND crk <= 2),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.qe, a.ne)
+           / (sqrt(list_dot_product(p.qe, p.qe))
+              * sqrt(list_dot_product(a.ne, a.ne))) AS sim
+  FROM probe p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk
+FROM (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rk
+      FROM cand) WHERE rk <= 10
 """
 
 
@@ -1306,6 +1552,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "embedding_topk": q_embedding_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_topk": q_ann_topk,
 }
 
 ORACLES = {
@@ -1340,4 +1587,5 @@ ORACLES = {
     "media_frames": _MEDIA_FRAMES_ORACLE,
     "embedding_topk": _TOPK_ORACLE,
     "ann_lsh": _ANN_LSH_ORACLE,
+    "ann_topk": _ANN_TOPK_ORACLE,
 }
