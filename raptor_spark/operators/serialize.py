@@ -88,11 +88,9 @@ def _nt_line_udf():
 
 
 def nt_lines(triples: DataFrame, with_graph: bool = True):
-    """Canonical N-Triples/N-Quads line column (streaming sink path).
-
-    Rendering is deferred to the sink — the parse hot path ships only
-    logical term columns — and runs as one Arrow-vectorized pass applying
-    the reference escape rules (src/raptor_escaped.c:52-154)."""
+    """Canonical N-Triples/N-Quads line column (kernel path, all rows
+    through the Python writer). Kept for callers that need a single
+    column expression; the sink fast path is ``nt_lines_df``."""
     g = F.col("graph") if with_graph else F.lit(None).cast("string")
     return _nt_line_udf()(
         F.col("subj"), F.col("pred"), F.col("obj_kind"), F.col("obj_lex"),
@@ -100,11 +98,109 @@ def nt_lines(triples: DataFrame, with_graph: bool = True):
     )
 
 
+# Fast-path eligibility: the columnar renderer handles exactly the rows
+# whose every component needs no \uXXXX/\UXXXXXXXX escape — for literals
+# that is printable ASCII plus TAB/LF/CR (handled by replace), for URIs
+# printable ASCII minus the SPARQL-forbidden set (which the kernel
+# escapes). Everything else falls back to the kernel writer, keeping the
+# accepted output byte-identical to nt_render_statement for all rows.
+_LIT_CLEAN = r"^[\t\n\r\x20-\x7E]*$"
+_URI_CLEAN = r"^[\x21-\x7E]*$"
+_URI_BAD = r'[<>"{}|^`\\]'
+
+
+def _uri_clean(c):
+    return c.rlike(_URI_CLEAN) & ~c.rlike(_URI_BAD)
+
+
+def _subjlike_clean(c):
+    return c.startswith("_:") | _uri_clean(c)
+
+
+def _subjlike_render(c):
+    return F.when(c.startswith("_:"), c).otherwise(F.concat(F.lit("<"), c, F.lit(">")))
+
+
+def _lit_escape(c):
+    # backslash first; later replacements only ever introduce backslashes
+    for a, b in (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                 ("\r", "\\r"), ("\t", "\\t")):
+        c = F.replace(c, F.lit(a), F.lit(b))
+    return c
+
+
+def nt_lines_df(
+    triples: DataFrame, with_graph: bool = True, extra_cols: tuple = ()
+) -> DataFrame:
+    """Render N-Triples/N-Quads lines with a pure-column fast path.
+
+    The overwhelming majority of real-corpus rows are ASCII-clean; those
+    render entirely inside whole-stage codegen (concat/replace — no
+    Python, no Arrow transfer). Only rows containing characters that need
+    \\u escapes route through the kernel pandas UDF. The two branches are
+    unioned; N-Triples line order is immaterial (the format is a
+    statement set and the sink write is unordered anyway).
+
+    Returns a DataFrame of ``extra_cols + (nt_line,)``.
+    """
+    s, p = F.col("subj"), F.col("pred")
+    ok, ol = F.col("obj_kind"), F.col("obj_lex")
+    od, og = F.col("obj_datatype"), F.col("obj_lang")
+    from raptor_spark.kernel.terms import KIND_BLANK, KIND_LITERAL, KIND_URI
+
+    obj_clean = (
+        F.when(ok == KIND_URI, _uri_clean(ol))
+        .when(ok == KIND_BLANK, F.lit(True))
+        .otherwise(
+            ol.rlike(_LIT_CLEAN) & (od.isNull() | _uri_clean(od))
+        )
+    )
+    clean = _subjlike_clean(s) & _uri_clean(p) & obj_clean
+    if with_graph:
+        clean = clean & (F.col("graph").isNull() | _subjlike_clean(F.col("graph")))
+    clean = F.coalesce(clean, F.lit(False))
+
+    lit = F.concat(
+        F.lit('"'),
+        _lit_escape(ol),
+        F.lit('"'),
+        F.when(og.isNotNull(), F.concat(F.lit("@"), og)).otherwise(F.lit("")),
+        F.when(od.isNotNull(), F.concat(F.lit("^^<"), od, F.lit(">"))).otherwise(
+            F.lit("")
+        ),
+    )
+    obj = (
+        F.when(ok == KIND_URI, F.concat(F.lit("<"), ol, F.lit(">")))
+        .when(ok == KIND_BLANK, F.concat(F.lit("_:"), ol))
+        .otherwise(lit)
+    )
+    fast = F.concat(
+        _subjlike_render(s), F.lit(" "),
+        F.concat(F.lit("<"), p, F.lit(">")), F.lit(" "),
+        obj,
+        (
+            F.when(
+                F.col("graph").isNotNull(),
+                F.concat(F.lit(" "), _subjlike_render(F.col("graph"))),
+            ).otherwise(F.lit(""))
+            if with_graph
+            else F.lit("")
+        ),
+        F.lit(" ."),
+    )
+    extras = [F.col(c) for c in extra_cols]
+    fast_df = triples.filter(clean).select(*extras, fast.alias("nt_line"))
+    slow_df = triples.filter(~clean).select(
+        *extras, nt_lines(triples, with_graph).alias("nt_line")
+    )
+    return fast_df.unionAll(slow_df)
+
+
 def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True):
     """Materialize the graph as N-Triples/N-Quads text files."""
-    triples.select(nt_lines(triples, with_graph).alias("value")).write.mode(
-        "overwrite"
-    ).text(path)
+    nt_lines_df(triples, with_graph).withColumnRenamed(
+        "nt_line", "value"
+    ).write.mode("overwrite").text(path)
 
 
 def _rows_to_triples(pdf: pd.DataFrame):

@@ -528,14 +528,12 @@ def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression (reference: src/raptor_serialize_ntriples.c:194-332). The
     oracle rebuilds every line relationally — checks the whole
     parse -> canonicalize -> render path byte-for-byte."""
-    from raptor_spark.operators.serialize import nt_lines
+    from raptor_spark.operators.serialize import nt_lines_df
     from raptor_spark.pipeline import build_graph
     from raptor_spark.sources.transcripts import tpch_transcripts
 
     triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
-    return triples.select(
-        F.col("conv_id"), nt_lines(triples, with_graph=True).alias("nt_line")
-    )
+    return nt_lines_df(triples, with_graph=True, extra_cols=("conv_id",))
 
 
 _SERIALIZE_NT_ORACLE = """
