@@ -236,21 +236,60 @@ def serialize_documents(
     )
 
 
+def _roundtrip_count(doc: str, fmt: str) -> int:
+    """Statement count recovered from a serialized document: reparse for
+    the parseable formats, structural line counts for the display-only
+    ones (dot: one edge per statement; html: one table row). -1 signals
+    reparse errors so a broken writer can never hash-match the oracle."""
+    import re
+
+    if fmt in ("turtle", "trig"):
+        from raptor_spark.kernel import turtle as T
+
+        back, errs = T.parse_document(
+            doc, base_uri="http://roundtrip/", trig=(fmt == "trig")
+        )
+    elif fmt in ("rdfxml", "rdfxml-abbrev"):
+        from raptor_spark.kernel import rdfxml as X
+
+        back, errs = X.parse_document(doc, base_uri="http://roundtrip/")
+    elif fmt == "json":
+        from raptor_spark.kernel import rdfjson as J
+
+        back, errs = J.parse_document(doc)
+    elif fmt in ("ntriples", "nquads"):
+        from raptor_spark.kernel import ntriples as N
+
+        back, errs = N.parse_document(doc, is_nquads=(fmt == "nquads"))
+    elif fmt == "dot":
+        return len(re.findall(r'^\t"[rbl]\d+" -> "', doc, re.M))
+    elif fmt == "html":
+        return doc.count('<tr class="triple">')
+    else:
+        raise ValueError("unknown roundtrip format %r" % fmt)
+    return -1 if errs else len(set(back))
+
+
+_RT_WRITERS = dict(_WRITERS)
+_RT_WRITERS["rdfxml-abbrev"] = K.to_rdfxml_abbrev
+
+
 def serialize_roundtrip_counts(
-    triples: DataFrame, group_col: str = "conv_id"
+    triples: DataFrame, fmt: str = "trig", group_col: str = "conv_id"
 ) -> DataFrame:
-    """Serialize each group as TriG, reparse it, count statements — the
-    distributed form of the reference's check-turtle-serialize harness
-    (rapper -o turtle | rdfdiff). Returns (group, n_triples)."""
-    from raptor_spark.kernel import turtle as T
+    """Serialize each group in ``fmt``, reparse (or structurally count),
+    count statements — the distributed form of the reference's
+    check-turtle-serialize harness (rapper -o <fmt> | rdfdiff). Returns
+    (group, n_triples); a relational oracle over the source tables pins
+    the expected count per group."""
+    writer = _RT_WRITERS[fmt]
 
     cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
             "obj_datatype", "obj_lang", "graph"]
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc = K.to_trig(_rows_to_triples(pdf))
-        back, errs = T.parse_document(doc, base_uri="http://roundtrip/", trig=True)
-        n = -1 if errs else len(set(back))
+        doc = writer(_rows_to_triples(pdf))
+        n = _roundtrip_count(doc, fmt)
         return pd.DataFrame({group_col: [key[0]], "n_triples": [n]})
 
     return (

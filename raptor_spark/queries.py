@@ -602,6 +602,27 @@ def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_roundtrip_counts(triples)
 
 
+def _rt_query(fmt: str):
+    """queries() entry factory: roundtrip-count the given buffered writer
+    so every serializer (reference registry src/raptor_serialize.c) gets
+    its own oracle row, not just pytest coverage."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from raptor_spark.operators.serialize import serialize_roundtrip_counts
+        from raptor_spark.pipeline import build_graph
+        from raptor_spark.sources.transcripts import tpch_transcripts
+
+        triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+        return serialize_roundtrip_counts(triples, fmt=fmt)
+
+    q.__name__ = "q_serialize_rt_" + fmt.replace("-", "_")
+    q.__doc__ = (
+        f"Serialize each conversation as {fmt}, reparse/count, compare "
+        "against the relational statement-count oracle."
+    )
+    return q
+
+
 _SERIALIZE_RT_ORACLE = """
 WITH li AS (
   SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln, l_partkey AS pk,
@@ -1536,6 +1557,12 @@ QUERIES = {
     "serialize_grouped": q_serialize_grouped,
     "serialize_ntriples": q_serialize_ntriples,
     "serialize_roundtrip": q_serialize_roundtrip,
+    "serialize_rt_turtle": _rt_query("turtle"),
+    "serialize_rt_rdfxml": _rt_query("rdfxml"),
+    "serialize_rt_rdfxml_abbrev": _rt_query("rdfxml-abbrev"),
+    "serialize_rt_json": _rt_query("json"),
+    "serialize_rt_dot": _rt_query("dot"),
+    "serialize_rt_html": _rt_query("html"),
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1571,6 +1598,12 @@ ORACLES = {
     "serialize_grouped": _SERIALIZE_ORACLE,
     "serialize_ntriples": _SERIALIZE_NT_ORACLE,
     "serialize_roundtrip": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_turtle": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_rdfxml": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_rdfxml_abbrev": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_json": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_dot": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_html": _SERIALIZE_RT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
