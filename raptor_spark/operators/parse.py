@@ -58,6 +58,14 @@ def parse_one(
         from raptor_spark.kernel import rdfjson as _rj
 
         return _rj.parse_document(text)
+    if fmt in ("rdfa", "rdfa10", "rdfa11"):
+        from raptor_spark.kernel import rdfa as _ra
+
+        # parser-name version pins per the reference's factory names
+        # (src/raptor_librdfa.c:78-83,352): "rdfa" sniffs the version
+        # from the document, "rdfa10"/"rdfa11" force it
+        version = {"rdfa": 0, "rdfa10": 10, "rdfa11": 11}[fmt]
+        return _ra.parse_document(text, base_uri=base_uri, version=version)
     return [], [{"line": 0, "message": "unknown format %r" % fmt}]
 
 
@@ -68,6 +76,13 @@ def guess_format(text: str) -> str:
 
     head = text[:2048]
     stripped = head.lstrip()
+    if (
+        "-//W3C//DTD XHTML+RDFa 1.0//EN" in head
+        or "http://www.w3.org/MarkUp/DTD/xhtml-rdfa-1.dtd" in head
+    ):
+        # the reference's rdfa recogniser outscores rdfxml exactly on
+        # these two DTD markers (src/raptor_librdfa.c:327-349)
+        return "rdfa"
     if stripped.startswith("<?xml") or "<rdf:RDF" in head:
         return "rdfxml"
     # RDF/JSON may open with /* */ or // comments (YAJL comment mode)

@@ -328,6 +328,102 @@ FROM events
 """
 
 
+def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa 1.1 extraction end-to-end: synthesize one crawled-HTML-shaped
+    page per customer (pure column expressions), route it through the
+    same Arrow-batched parse operator the KG pipeline uses with the
+    'rdfa' sniffing parser (reference: src/raptor_librdfa.c +
+    librdfa/rdfa.c §host-language sniff), and return the extracted
+    triples. Covers @about/@typeof/@property (plain, @xml:lang, typed
+    via the xsd initial-context prefix), @rel+@href IRI resolution
+    against the per-document base, @prefix mappings, and @inlist
+    rdf:first/rest/nil chains with the kernel's deterministic per-
+    document bnode labels — all reconstructed relationally by the
+    oracle."""
+    from raptor_spark.operators.parse import parse_documents, triples_of
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    doc = F.format_string(
+        '<!DOCTYPE html>\n<html xmlns="http://www.w3.org/1999/xhtml">\n'
+        "<head><title>c</title></head>\n"
+        '<body prefix="schema: http://schema.org/">\n'
+        '<div about="#me" typeof="schema:Person">\n'
+        '<span property="schema:name">%s</span>\n'
+        '<span property="schema:segment" xml:lang="en">%s</span>\n'
+        '<a rel="schema:nation" href="nation/%s">n</a>\n'
+        '<span property="schema:nationkey" datatype="xsd:integer"'
+        ' content="%s">k</span>\n'
+        '<ol rel="schema:refs" inlist="">'
+        '<li><a href="ref/%s-a">a</a><a href="ref/%s-b">b</a></li></ol>\n'
+        "</div>\n</body></html>",
+        F.col("c_name"),
+        F.col("c_mktsegment"),
+        F.col("c_nationkey"),
+        F.col("c_nationkey"),
+        F.col("c_custkey"),
+        F.col("c_custkey"),
+    )
+    docs = cust.select(
+        F.format_string("cust-%s", F.col("c_custkey")).alias("conv_id"),
+        doc.alias("doc_text"),
+        F.lit("rdfa").alias("tool"),
+        F.format_string(
+            "http://ex.org/crm/%s.html", F.col("c_custkey")
+        ).alias("base_uri"),
+    )
+    parsed = parse_documents(docs, base_uri_col="base_uri")
+    return triples_of(parsed).select(
+        "conv_id", "subj", "pred", "obj_kind", "obj_lex",
+        "obj_datatype", "obj_lang",
+    )
+
+
+_RDFA_ORACLE = """
+WITH c AS (
+  SELECT 'cust-' || c_custkey AS conv_id,
+         'http://ex.org/crm/' || c_custkey || '.html' AS base,
+         'http://ex.org/crm/' || c_custkey || '.html#me' AS me,
+         c_name, c_mktsegment,
+         CAST(c_nationkey AS VARCHAR) AS nk,
+         CAST(c_custkey AS VARCHAR) AS ck
+  FROM customer
+)
+SELECT conv_id, me AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       1 AS obj_kind, 'http://schema.org/Person' AS obj_lex,
+       NULL AS obj_datatype, NULL AS obj_lang FROM c
+UNION ALL
+SELECT conv_id, me, 'http://schema.org/name', 2, c_name, NULL, NULL FROM c
+UNION ALL
+SELECT conv_id, me, 'http://schema.org/segment', 2, c_mktsegment,
+       NULL, 'en' FROM c
+UNION ALL
+SELECT conv_id, me, 'http://schema.org/nation', 1,
+       'http://ex.org/crm/nation/' || nk, NULL, NULL FROM c
+UNION ALL
+SELECT conv_id, me, 'http://schema.org/nationkey', 2, nk,
+       'http://www.w3.org/2001/XMLSchema#integer', NULL FROM c
+UNION ALL
+SELECT conv_id, me, 'http://schema.org/refs', 4, 'rdfa2', NULL, NULL FROM c
+UNION ALL
+SELECT conv_id, '_:rdfa2',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 1,
+       'http://ex.org/crm/ref/' || ck || '-a', NULL, NULL FROM c
+UNION ALL
+SELECT conv_id, '_:rdfa2',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 4, 'rdfa3',
+       NULL, NULL FROM c
+UNION ALL
+SELECT conv_id, '_:rdfa3',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#first', 1,
+       'http://ex.org/crm/ref/' || ck || '-b', NULL, NULL FROM c
+UNION ALL
+SELECT conv_id, '_:rdfa3',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest', 1,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', NULL, NULL FROM c
+"""
+
+
 def q_uri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic URI minting for conversation entities
     (north-rule operator; reproducible across retries — hash of content,
@@ -1550,6 +1646,7 @@ QUERIES = {
     "term_canonicalize": q_term_canonicalize,
     "nt_escape_line": q_nt_escape_line,
     "format_guess": q_format_guess,
+    "rdfa_extract": q_rdfa_extract,
     "uri_mint": q_uri_mint,
     "entity_link": q_entity_link,
     "kg_entity_link": q_kg_entity_link,
@@ -1591,6 +1688,7 @@ ORACLES = {
     "term_canonicalize": _CANON_ORACLE,
     "nt_escape_line": _NT_ESCAPE_ORACLE,
     "format_guess": _GUESS_ORACLE,
+    "rdfa_extract": _RDFA_ORACLE,
     "uri_mint": _URI_MINT_ORACLE,
     "entity_link": _ENTITY_LINK_ORACLE,
     "kg_entity_link": _KG_ENTITY_LINK_ORACLE,
