@@ -58,6 +58,10 @@ def parse_one(
         from raptor_spark.kernel import rdfjson as _rj
 
         return _rj.parse_document(text)
+    if fmt == "rss-tag-soup":
+        from raptor_spark.kernel import rss as _rss
+
+        return _rss.parse_document(text, base_uri=base_uri)
     if fmt in ("rdfa", "rdfa10", "rdfa11"):
         from raptor_spark.kernel import rdfa as _ra
 

@@ -424,6 +424,153 @@ SELECT conv_id, '_:rdfa3',
 """
 
 
+def q_feed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed ingestion end-to-end: synthesize one RSS 2.0 feed per nation
+    (suppliers as items, pure column expressions incl. the in-feed
+    document order), parse with the rss-tag-soup kernel through the
+    shared Arrow-batched parse operator (reference: src/raptor_rss.c
+    field tables + raptor_atom_to_rss uplift), and return the RSS-1.0
+    triple model. Covers channel/item identification by rss:link,
+    the rdf:Seq ordinal connection, the description -> content:encoded
+    clone, and the parsedate-equivalent pubDate -> ISO dc:date uplift —
+    all reconstructed relationally by the oracle."""
+    from raptor_spark.operators.parse import parse_documents, triples_of
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    item_xml = F.format_string(
+        " <item>\n  <title>%s</title>\n"
+        "  <link>http://ex.org/supp/%s</link>\n"
+        "  <description>update from %s</description>\n"
+        "  <pubDate>%02d Jun 2003 %02d:%02d:00 +0000</pubDate>\n"
+        " </item>\n",
+        F.col("s_name"),
+        F.col("s_suppkey"),
+        F.col("s_name"),
+        (F.col("s_suppkey") % 27 + 1).cast("int"),
+        (F.col("s_suppkey") % 24).cast("int"),
+        (F.col("s_suppkey") % 60).cast("int"),
+    )
+    items = (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("s_suppkey"), item_xml.alias("x"))
+                        )
+                    ),
+                    lambda s: s["x"],
+                ),
+            ).alias("items_xml")
+        )
+    )
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    doc = F.format_string(
+        '<?xml version="1.0"?>\n<rss version="2.0">\n<channel>\n'
+        " <title>%s</title>\n"
+        " <link>http://ex.org/feed/%s</link>\n"
+        " <description>%s wire</description>\n"
+        " <pubDate>10 Jun 2003 04:00:00 +0000</pubDate>\n"
+        "%s</channel>\n</rss>\n",
+        F.col("n_name"),
+        F.col("n_nationkey"),
+        F.col("n_name"),
+        F.coalesce(F.col("items_xml"), F.lit("")),
+    )
+    docs = nat.join(
+        items, nat.n_nationkey == items.s_nationkey, "left"
+    ).select(
+        F.format_string("feed-%s", F.col("n_nationkey")).alias("conv_id"),
+        doc.alias("doc_text"),
+        F.lit("rss-tag-soup").alias("tool"),
+        F.format_string(
+            "http://ex.org/feeds/%s.rss", F.col("n_nationkey")
+        ).alias("base_uri"),
+    )
+    parsed = parse_documents(docs, base_uri_col="base_uri")
+    return triples_of(parsed).select(
+        "conv_id", "subj", "pred", "obj_kind", "obj_lex",
+    )
+
+
+_FEED_ORACLE = """
+WITH n AS (
+  SELECT 'feed-' || n_nationkey AS conv_id,
+         'http://ex.org/feed/' || n_nationkey AS ch,
+         n_name, n_nationkey
+  FROM nation
+),
+s AS (
+  SELECT 'feed-' || s_nationkey AS conv_id,
+         'http://ex.org/supp/' || s_suppkey AS it,
+         s_name,
+         printf('%02d Jun 2003 %02d:%02d:00 +0000',
+                s_suppkey % 27 + 1, s_suppkey % 24, s_suppkey % 60)
+             AS raw_date,
+         printf('2003-06-%02dT%02d:%02d:00Z',
+                s_suppkey % 27 + 1, s_suppkey % 24, s_suppkey % 60)
+             AS iso_date,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey)
+             AS ord
+  FROM supplier
+)
+SELECT conv_id, ch AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       1 AS obj_kind, 'http://purl.org/rss/1.0/channel' AS obj_lex FROM n
+UNION ALL
+SELECT conv_id, ch, 'http://purl.org/rss/1.0/title', 2, n_name FROM n
+UNION ALL
+SELECT conv_id, ch, 'http://purl.org/rss/1.0/link', 2, ch FROM n
+UNION ALL
+SELECT conv_id, ch, 'http://purl.org/rss/1.0/description', 2,
+       n_name || ' wire' FROM n
+UNION ALL
+SELECT conv_id, ch, 'http://purl.org/rss/1.0/modules/content/encoded', 2,
+       n_name || ' wire' FROM n
+UNION ALL
+SELECT conv_id, ch, 'http://purl.org/rss/1.0/modules/rss091#pubDate', 2,
+       '10 Jun 2003 04:00:00 +0000' FROM n
+UNION ALL
+SELECT conv_id, ch, 'http://purl.org/dc/elements/1.1/date', 2,
+       '2003-06-10T04:00:00Z' FROM n
+UNION ALL
+-- the rdf:Seq of items: the single bnode per feed is the kernel's
+-- first genid (no other bnodes exist in these block-free feeds)
+SELECT conv_id, ch, 'http://purl.org/rss/1.0/items', 4, 'genid1' FROM n
+  WHERE EXISTS (SELECT 1 FROM s WHERE s.conv_id = n.conv_id)
+UNION ALL
+SELECT conv_id, '_:genid1',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 1,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#Seq' FROM n
+  WHERE EXISTS (SELECT 1 FROM s WHERE s.conv_id = n.conv_id)
+UNION ALL
+SELECT conv_id, '_:genid1',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#_' || ord, 1, it FROM s
+UNION ALL
+SELECT conv_id, it,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 1,
+       'http://purl.org/rss/1.0/item' FROM s
+UNION ALL
+SELECT conv_id, it, 'http://purl.org/rss/1.0/title', 2, s_name FROM s
+UNION ALL
+SELECT conv_id, it, 'http://purl.org/rss/1.0/link', 2, it FROM s
+UNION ALL
+SELECT conv_id, it, 'http://purl.org/rss/1.0/description', 2,
+       'update from ' || s_name FROM s
+UNION ALL
+SELECT conv_id, it, 'http://purl.org/rss/1.0/modules/content/encoded', 2,
+       'update from ' || s_name FROM s
+UNION ALL
+SELECT conv_id, it, 'http://purl.org/rss/1.0/modules/rss091#pubDate', 2,
+       raw_date FROM s
+UNION ALL
+SELECT conv_id, it, 'http://purl.org/dc/elements/1.1/date', 2,
+       iso_date FROM s
+"""
+
+
 def q_uri_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic URI minting for conversation entities
     (north-rule operator; reproducible across retries — hash of content,
@@ -1647,6 +1794,7 @@ QUERIES = {
     "nt_escape_line": q_nt_escape_line,
     "format_guess": q_format_guess,
     "rdfa_extract": q_rdfa_extract,
+    "feed_triples": q_feed_triples,
     "uri_mint": q_uri_mint,
     "entity_link": q_entity_link,
     "kg_entity_link": q_kg_entity_link,
@@ -1689,6 +1837,7 @@ ORACLES = {
     "nt_escape_line": _NT_ESCAPE_ORACLE,
     "format_guess": _GUESS_ORACLE,
     "rdfa_extract": _RDFA_ORACLE,
+    "feed_triples": _FEED_ORACLE,
     "uri_mint": _URI_MINT_ORACLE,
     "entity_link": _ENTITY_LINK_ORACLE,
     "kg_entity_link": _KG_ENTITY_LINK_ORACLE,
