@@ -53,10 +53,29 @@ def synth_media(docs: DataFrame) -> DataFrame:
 
 
 def _decode_real(payload: bytes, media_type: str):
-    """Where a real codec would go (PIL.Image.open / soundfile / ffmpeg
-    frame demux). The container ships none of them, so this stays a
-    clearly-marked stub."""
-    raise NotImplementedError("no media codecs in this environment")
+    """The real-codec seam. Images decode through PIL when it is
+    importable (tests/test_multimodal.py carries a skip-marked
+    integration test for that path); audio/video would go through
+    soundfile / ffmpeg, which this container never ships, so those
+    remain clearly-marked stubs."""
+    if media_type == "image":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "image codec requested but PIL is not installed"
+            ) from e
+        import io
+
+        with Image.open(io.BytesIO(bytes(payload))) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "channels": len(im.getbands()),
+            }
+    raise NotImplementedError(
+        "no %s codec in this environment" % media_type
+    )
 
 
 def _decode_stub(payload: bytes, media_type: str):

@@ -39,6 +39,40 @@ def test_real_codec_gate(media):
     )
 
 
+def test_real_codec_wiring(media, monkeypatch):
+    # the use_real_codec flag must route every row through _decode_real —
+    # proven with a fake codec so the stub can never silently diverge
+    # from the real path's shape
+    calls = {"n": 0}
+
+    def fake(payload, media_type):
+        calls["n"] += 1
+        return {"width": 640, "height": 480, "channels": 4}
+
+    monkeypatch.setattr(MM, "_decode_real", fake)
+    rows = MM.decode_media(media.limit(20), use_real_codec=True).collect()
+    assert rows and all(
+        (r.width, r.height, r.channels) == (640, 480, 4) for r in rows
+    )
+
+
+def test_real_codec_pil_integration(spark):
+    # end-to-end through an actual codec; runs wherever PIL exists
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), len(buf.getvalue()))],
+        "doc_id bigint, media_type string, payload binary, byte_len int",
+    )
+    row = MM.decode_media(media, use_real_codec=True).collect()[0]
+    assert (row.width, row.height, row.channels) == (17, 9, 3)
+    del PIL
+
+
 def test_feature_shape(media):
     rows = MM.extract_features(media).limit(10).collect()
     for r in rows:
