@@ -204,6 +204,9 @@ class _Parser:
         self.triples: List[Triple] = []
         self.errors: List[dict] = []
         self.warnings: List[dict] = []
+        # xmlns declarations in document order (the namespace events a
+        # raptor parser hands its serializer); prefix "" = default
+        self.namespaces: List[tuple] = []
         self.base = base_uri
         self.scan = scan
         self._genid = 0
@@ -252,6 +255,8 @@ class _Parser:
 
     def _ns_decl(self, prefix, uri):
         self._pending_ns.append((prefix, uri))
+        if uri:
+            self.namespaces.append((prefix or "", uri))
         if uri and uri != RDF_NS:
             if uri.startswith(RDF_NS):
                 self._error(

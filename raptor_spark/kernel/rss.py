@@ -65,6 +65,18 @@ RDFNS = 11
 AT_NS = 12
 ITUNES_NS = 13
 
+_NS_PREFIX: Dict[int, Optional[str]] = {
+    RSS091_NS: "rss091",
+    RSS10_NS: "rss",
+    DC_NS: "dc",
+    ENC_NS: "enc",
+    CONTENT_NS: "content",
+    ATOM10_NS: "atom",
+    RDFNS: "rdf",
+    AT_NS: "at",
+    ITUNES_NS: "itunes",
+}
+
 _NS_URI: Dict[int, Optional[str]] = {
     UNKNOWN_NS: None,
     NO_NS: None,
@@ -426,6 +438,12 @@ class RssParser:
         self.current_block: Optional[_Block] = None
         self.common: Dict[int, List[_Item]] = {}
         self.items: List[_Item] = []
+        # namespaces to declare to a serializer (raptor_rss.c
+        # nspaces_seen + raptor_rss_start_namespaces): marked by field/
+        # block/uplift processing — and by the quirky xmlns handler
+        # (raptor_rss.c:924-949) that marks the FIRST table namespace
+        # differing from each declared one (i.e. rss091, practically)
+        self.nspaces_seen: set = set()
         # per-element: [name, text_parts, uri, xml_mode, had_cdata]
         self._stack: List[list] = []
         self._ns_stack: List[Dict[str, Optional[str]]] = [{}]
@@ -524,6 +542,10 @@ class RssParser:
             if k == "xmlns" or k.startswith("xmlns:"):
                 new_scope = dict(scope) if new_scope is None else new_scope
                 new_scope[k[6:] if k.startswith("xmlns:") else ""] = v
+                for nsid in sorted(_NS_URI):
+                    if _NS_URI[nsid] is not None and _NS_URI[nsid] != v:
+                        self.nspaces_seen.add(nsid)
+                        break
         scope = new_scope if new_scope is not None else scope
         self._ns_stack.append(scope)
 
@@ -579,8 +601,10 @@ class RssParser:
             return
 
         fname, nsid, flags, block_type = _FIELD_NAMES[self.current_field]
+        self.nspaces_seen.add(nsid)
 
         if flags & _BLOCK_VALUE:
+            self.nspaces_seen.add(_TYPES[block_type][1])
             update_item = self._get_current_item()
             block = _Block(block_type, self._bnode())
             if update_item is not None:
@@ -795,6 +819,7 @@ class RssParser:
                 else:
                     field.value = src.value
                 item.add_field(to_f, field)
+                self.nspaces_seen.add(_FIELD_NAMES[to_f][1])
 
         for lst in self.common.values():
             for item in lst:
@@ -873,6 +898,22 @@ class RssParser:
                     self._emit_res(seq, RDF_NS + "_%d" % n, item.term)
 
     # -- driver -------------------------------------------------------------
+
+    def namespaces(self) -> List[Tuple[str, str]]:
+        """(prefix, uri) declarations for a serializer, in the table's
+        enum order, for seen namespaces with prefixes — exactly the set
+        raptor_rss_start_namespaces starts (raptor_rss.c:1565-1597;
+        its final pass also marks every field namespace present on the
+        common items, but not on the feed entries)."""
+        for lst in self.common.values():
+            for item in lst:
+                for f in item.fields:
+                    self.nspaces_seen.add(_FIELD_NAMES[f][1])
+        return [
+            (_NS_PREFIX[n], _NS_URI[n])
+            for n in sorted(self.nspaces_seen)
+            if _NS_PREFIX.get(n) and _NS_URI.get(n)
+        ]
 
     def run(self, data) -> None:
         if isinstance(data, str):

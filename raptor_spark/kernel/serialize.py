@@ -336,6 +336,332 @@ def to_trig(
 
 
 # --------------------------------------------------------------------------
+# Turtle, byte-exact (the reference's raptor_serialize_turtle.c +
+# raptor_turtle_writer.c layout, verified against the committed
+# tests/turtle/*-out.ttl and tests/feeds/*-result.ttl goldens)
+# --------------------------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+_TTL_URI_ESC = set('<>"{}|^`')
+_XSD_DECIMAL_RE = re.compile(r"^[+-]?[0-9]*\.[0-9]+$")
+_XSD_DOUBLE_RE = re.compile(
+    r"^[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)[eE][+-]?[0-9]+$"
+)
+_XSD_INTEGER_RE = re.compile(r"^\s*[+-]?[0-9]+$")
+# XML Name (start letter/_) intersected with legal-turtle-qname locals
+# (leading alnum/_, no '.'): raptor_serialize_turtle.c:152-180 +
+# raptor_xml_name_check
+_TTL_LOCAL_RE = re.compile(r"^[^\W\d.][\w\-]*$", re.UNICODE)
+_TTL_PREFIX_OK = re.compile(r"^[^\W_.][\w\-]*$", re.UNICODE)
+
+
+def _ttlx_term_key(term):
+    """raptor_term_compare (src/raptor_term.c:741-800): type rank (URI <
+    literal < blank per raptor_term_type values 1/2/4), then value
+    strcmp; literals by lexical, then language (caseless, absent
+    first), then datatype (absent first)."""
+    kind, a, b, c = term
+    if kind == "u":
+        return (1, a)
+    if kind == "l":
+        return (
+            2, a,
+            (1, b.lower()) if b else (0, ""),
+            (1, c) if c else (0, ""),
+        )
+    return (4, a)
+
+
+def _ttlx_escape_literal(s: str) -> str:
+    # RAPTOR_ESCAPED_WRITE_TURTLE_LITERAL = UTF8 only
+    # (raptor_escaped.c:53-155): just delim + backslash escapes,
+    # everything else raw
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _ttlx_escape_uri(s: str) -> str:
+    # RAPTOR_ESCAPED_WRITE_TURTLE_URI = UTF8 | SPARQL_URI_ESCAPES
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch <= " " or ch in _TTL_URI_ESC:
+            out.append("\\u%04X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+class _TurtleExactWriter:
+    """raptor_turtle_writer: 2-step indent of width 2 => 4 spaces per
+    level, written eagerly after every newline."""
+
+    def __init__(self, base_uri, namespaces):
+        self.parts: List[str] = []
+        self.level = 0
+        self.base = base_uri
+        # qname search order: built-in rdf, declared prefixes, xml
+        self.namespaces = namespaces
+
+    def raw(self, s: str) -> None:
+        self.parts.append(s)
+
+    def newline(self) -> None:
+        self.parts.append("\n" + "    " * self.level)
+
+    def reference(self, uri: str) -> None:
+        if self.base:
+            from raptor_spark.kernel.uri import uri_to_relative
+
+            uri = uri_to_relative(self.base, uri)
+        self.parts.append("<" + _ttlx_escape_uri(uri) + ">")
+
+    def qname(self, uri: str) -> Optional[str]:
+        for prefix, ns in self.namespaces:
+            if not ns or len(ns) >= len(uri) or not uri.startswith(ns):
+                continue
+            local = uri[len(ns):]
+            if not _TTL_LOCAL_RE.match(local):
+                continue
+            if prefix and not _TTL_PREFIX_OK.match(prefix):
+                continue
+            return (prefix or "") + ":" + local
+        return None
+
+    def resource(self, uri: str) -> None:
+        if uri == RDF_NIL:
+            self.raw("( )")
+            return
+        q = self.qname(uri)
+        if q is not None:
+            self.raw(q)
+        else:
+            self.reference(uri)
+
+    def literal(self, lex: str, lang, dt) -> None:
+        if dt:
+            if dt == _XSD + "integer" and _XSD_INTEGER_RE.match(lex):
+                self.raw(lex)
+                return
+            if dt == _XSD + "decimal" and _XSD_DECIMAL_RE.match(lex):
+                self.raw(lex)
+                return
+            if dt == _XSD + "double" and _XSD_DOUBLE_RE.match(lex):
+                self.raw(lex)
+                return
+            if dt == _XSD + "boolean":
+                if lex in ("0", "false"):
+                    self.raw("false")
+                    return
+                if lex in ("1", "true"):
+                    self.raw("true")
+                    return
+        q = '"""' if "\n" in lex else '"'
+        self.raw(q + _ttlx_escape_literal(lex) + q)
+        if dt:
+            self.raw("^^")
+            self.resource(dt)
+        elif lang:
+            self.raw("@" + lang)
+
+
+def to_turtle_exact(
+    triples: Iterable[Triple],
+    namespaces: Iterable[Tuple[Optional[str], str]] = (),
+    base_uri: Optional[str] = None,
+    write_base: bool = True,
+) -> str:
+    """Serialize exactly like the reference turtle serializer: @base (if
+    any) then @prefix lines (built-in rdf first, then the declared
+    namespaces deduped by prefix and URI), then subject blocks — URI
+    subjects sorted, then named blank subjects — with properties in
+    (predicate, object) term order, `a` for rdf:type, `, ` object
+    lists, inline [ ... ] for once-referenced bnodes, ( ... )
+    collections, and xsd numeric/boolean literal abbreviation."""
+
+    def term_of(kind, lex, dt=None, lang=None):
+        if kind == KIND_URI:
+            return ("u", lex, None, None)
+        if kind == KIND_BLANK:
+            return ("b", lex, None, None)
+        return ("l", lex, lang, dt)
+
+    # -- abbrev model: subjects + object reference counts ------------------
+    uri_subjects: Dict[tuple, set] = {}
+    blank_subjects: Dict[tuple, set] = {}
+    count_as_object: Dict[tuple, int] = defaultdict(int)
+    for t in triples:
+        subj = (
+            ("b", t.subj[2:], None, None)
+            if t.subj.startswith("_:")
+            else ("u", t.subj, None, None)
+        )
+        table = blank_subjects if subj[0] == "b" else uri_subjects
+        props = table.setdefault(subj, set())
+        obj = term_of(t.obj_kind, t.obj_lex, t.obj_datatype, t.obj_lang)
+        props.add((("u", t.pred, None, None), obj))
+        # counted per statement, before de-duplication
+        # (raptor_turtle_serialize_statement)
+        if obj[0] in ("u", "b"):
+            count_as_object[obj] += 1
+
+    # -- prologue -----------------------------------------------------------
+    declared: List[Tuple[Optional[str], str]] = [("rdf", RDF_NS)]
+    for prefix, ns in namespaces:
+        prefix = prefix or None
+        if any(
+            p == prefix or (u and ns and u == ns) for p, u in declared
+        ):
+            continue
+        declared.append((prefix, ns))
+
+    w = _TurtleExactWriter(None, [])
+    if base_uri and write_base:
+        w.raw("@base ")
+        w.reference(base_uri)
+        w.raw(" .\n")
+    w.base = base_uri
+    for prefix, ns in declared:
+        w.raw("@prefix %s: " % (prefix or ""))
+        w.reference(ns)
+        w.raw(" .\n")
+    w.namespaces = declared + [("xml", _XML_NS)]
+    w.newline()
+
+    rdf_type = ("u", RDF_TYPE, None, None)
+    rdf_first = ("u", RDF_FIRST, None, None)
+    rdf_rest = ("u", RDF_REST, None, None)
+    invalid: set = set()
+
+    def emit_object(obj, depth):
+        if obj[0] == "u":
+            w.resource(obj[1])
+        elif obj[0] == "l":
+            w.literal(obj[1], obj[2], obj[3])
+        else:
+            emit_blank(obj, depth)
+
+    def emit_blank(obj, depth):
+        blank = blank_subjects.get(obj)
+        if (
+            count_as_object[obj] == 1
+            and blank is not None
+            and obj not in invalid
+        ):
+            emit_subject(obj, blank, depth + 1)
+            invalid.add(obj)
+        else:
+            w.raw("_:" + obj[1])
+
+    def emit_properties(props, depth):
+        last_pred = None
+        for pred, obj in sorted(
+            props, key=lambda po: (_ttlx_term_key(po[0]),
+                                   _ttlx_term_key(po[1]))
+        ):
+            if pred != last_pred:
+                if last_pred is not None:
+                    w.raw(" ;")
+                    w.newline()
+                if pred == rdf_type:
+                    w.raw("a")
+                else:
+                    w.resource(pred[1])
+                w.raw(" ")
+            else:
+                w.raw(", ")
+            emit_object(obj, depth + 1)
+            last_pred = pred
+
+    def emit_collection(subj, depth):
+        # walk rdf:first/rdf:rest chains like
+        # raptor_turtle_emit_subject_collection_items
+        w.raw("(")
+        w.level += 1
+        first = True
+        node = subj
+        while True:
+            props = dict(
+                sorted(
+                    blank_subjects.get(node, uri_subjects.get(node, ())),
+                    key=lambda po: (_ttlx_term_key(po[0]),
+                                    _ttlx_term_key(po[1])),
+                )
+            )
+            if rdf_first not in props:
+                break
+            if not first:
+                w.newline()
+            first = False
+            emit_object(props[rdf_first], depth + 1)
+            rest = props.get(rdf_rest)
+            if rest is None or rest[0] != "b":
+                break
+            invalid.add(node)
+            node = rest
+        invalid.add(node)
+        w.level -= 1
+        w.newline()
+        w.raw(")")
+
+    def emit_subject(subj, props, depth):
+        if not props:
+            return
+        spo = sorted(
+            (po[0] for po in props), key=_ttlx_term_key
+        )
+        collection = (
+            depth > 0
+            and len(props) >= 2
+            and {spo[0], spo[1]} == {rdf_first, rdf_rest}
+        )
+        blank = True
+        if subj[0] == "u":
+            w.resource(subj[1])
+            blank = False
+            collection = False
+        else:
+            c_obj = count_as_object[subj]
+            if c_obj == 1 and depth > 1:
+                blank = True
+            elif c_obj == 0:
+                w.raw("[]")
+                blank = False
+            elif not collection and c_obj > 1:
+                w.raw("_:" + subj[1])
+        if collection:
+            emit_collection(subj, depth)
+        else:
+            if blank and depth > 1:
+                w.raw("[")
+            w.level += 1
+            w.newline()
+            emit_properties(props, depth)
+            w.level -= 1
+            if blank and depth > 1:
+                w.newline()
+                w.raw("]")
+        if depth == 0:
+            w.raw(" .")
+            w.newline()
+            w.newline()
+
+    for subj in sorted(uri_subjects, key=_ttlx_term_key):
+        if subj not in invalid:
+            emit_subject(subj, uri_subjects[subj], 0)
+    for subj in sorted(blank_subjects, key=_ttlx_term_key):
+        if subj in invalid:
+            continue
+        if count_as_object[subj] == 1:
+            # inlined at its reference point (emitted there)
+            continue
+        emit_subject(subj, blank_subjects[subj], 0)
+
+    return "".join(w.parts)
+
+
+# --------------------------------------------------------------------------
 # RDF/XML (streaming plain writer)
 # --------------------------------------------------------------------------
 

@@ -91,6 +91,9 @@ class TurtleParser:
         self.trig = trig
         self.ns: Dict[str, str] = {}
         self.default_ns: Optional[str] = None
+        # @prefix declarations in document order (the namespace events a
+        # raptor parser hands its serializer); prefix "" = default
+        self.namespaces: List[Tuple[str, str]] = []
         self.bnode_counter = 0
         self.triples: List[Triple] = []
         self.errors: List[dict] = []
@@ -507,6 +510,7 @@ class TurtleParser:
         self._skip_ws()
         if require_dot:
             self._expect(".")
+        self.namespaces.append((prefix, uri))
         if prefix == "":
             self.default_ns = uri
         else:
