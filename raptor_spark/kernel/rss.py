@@ -386,11 +386,13 @@ def _xml_attr_escape(s: str) -> str:
 
 
 class _Field:
-    __slots__ = ("value", "uri")
+    __slots__ = ("value", "uri", "is_xml", "is_mapped")
 
     def __init__(self, value=None, uri=None):
         self.value = value
         self.uri = uri
+        self.is_xml = False
+        self.is_mapped = False
 
 
 class _Block:
@@ -404,7 +406,7 @@ class _Block:
 
 
 class _Item:
-    __slots__ = ("fields", "blocks", "uri", "term", "typei")
+    __slots__ = ("fields", "blocks", "uri", "term", "typei", "triples")
 
     def __init__(self):
         self.fields: Dict[int, List[_Field]] = {}
@@ -412,6 +414,7 @@ class _Item:
         self.uri: Optional[str] = None
         self.term: Optional[str] = None  # URI or "_:label"
         self.typei: Optional[int] = None
+        self.triples: list = []  # leftover statements (serializer model)
 
     @property
     def fields_count(self) -> int:
