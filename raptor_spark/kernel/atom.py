@@ -177,16 +177,19 @@ class _XmlWriter:
         return "".join(self.parts)
 
 
-def _qname_for(uri: str) -> Optional[str]:
+def _qname_for(uri: str, default_nsid: int = ATOM10_NS) -> Optional[str]:
     """Abbreviate with the rss table namespaces (the ones declared on
-    the root element)."""
+    the root element); the serializer's default namespace renders as a
+    bare local name."""
     for nsid, prefix in _NS_PREFIX.items():
         ns = _NS_URI[nsid]
         if ns and uri.startswith(ns) and len(uri) > len(ns):
             local = uri[len(ns):]
             if local and "/" not in local and "#" not in local:
+                if nsid == default_nsid and nsid != ATOM10_NS:
+                    return local
                 return "%s:%s" % (prefix, local)
-    if uri.startswith(_NS_URI[ATOM10_NS]):
+    if default_nsid == ATOM10_NS and uri.startswith(_NS_URI[ATOM10_NS]):
         return uri[len(_NS_URI[ATOM10_NS]):]
     return None
 
@@ -204,6 +207,7 @@ class AtomSerializer:
         self.base = base_uri
         self.entry_uri = entry_uri
         self.now = now
+        self._default_nsid = ATOM10_NS
         # (prefix, uri) pairs declared by the input document's parser;
         # deduped by prefix/URI like rss10's user_namespaces
         self.user_namespaces: List[Tuple[Optional[str], str]] = []
@@ -461,7 +465,7 @@ class AtomSerializer:
                 continue
             if t.pred == RDF_NS + "type":
                 continue  # the single node is never written as a typed node
-            q = _qname_for(t.pred)
+            q = _qname_for(t.pred, self._default_nsid)
             if q is None:
                 continue
             if t.obj_kind == KIND_LITERAL:
@@ -486,12 +490,12 @@ class AtomSerializer:
                     ),
                     None,
                 )
-                bq = _qname_for(btype) if btype else None
+                bq = _qname_for(btype, self._default_nsid) if btype else None
                 w.start(bq or "rdf:Description")
                 for s in stmts:
                     if s.subj != bkey or s.pred == RDF_NS + "type":
                         continue
-                    sq = _qname_for(s.pred)
+                    sq = _qname_for(s.pred, self._default_nsid)
                     if sq is None:
                         continue
                     if s.obj_kind == KIND_LITERAL:
@@ -677,6 +681,204 @@ def to_atom(
     """Serialize triples (fed in document order) to Atom 1.0 with
     atom-triples maps, like rapper -o atom -f rssTriples=atom-triples."""
     ser = AtomSerializer(base_uri=base_uri, entry_uri=entry_uri, now=now)
+    for prefix, uri in namespaces:
+        if not any(
+            p == prefix or u == uri for p, u in ser.user_namespaces
+        ):
+            ser.user_namespaces.append((prefix or None, uri))
+    for t in triples:
+        ser.statement(t)
+    return ser.to_xml()
+
+
+# -- rss-1.0 mode ----------------------------------------------------------
+
+F_RDF_ENCLOSURE_URL = 26
+F_RDF_ENCLOSURE_LENGTH = 27
+F_RDF_ENCLOSURE_TYPE = 28
+
+from raptor_spark.kernel.rss import RSS10_NS  # noqa: E402
+
+
+class Rss10Serializer(AtomSerializer):
+    """rss-1.0 mode of the shared feed serializer: the ``is_atom == 0``
+    paths of src/raptor_serialize_rss.c. Shares statement intake and the
+    build/move passes with the atom mode, but:
+
+    - no rss->atom field rewriting at intake (the ``if(is_atom)`` guard
+      around the raptor_atom_to_rss rewrite, :385/:705);
+    - no ensure_atom_feed_valid / remove_mapped_fields passes
+      (raptor_rss10_serialize_end :2167 runs them only when is_atom);
+    - root element is ``rdf:RDF`` with the rss-1.0 namespace as the
+      default xmlns (raptor_rss10_build_xml_names :1058-1069);
+    - channel/items emit as RSS 1.0 typed nodes with ``rdf:about``, the
+      channel carries the <items><rdf:Seq><rdf:li/>..</rdf:Seq></items>
+      block (raptor_rss10_emit_rss_items :1376-1458);
+    - leftover triples emit inline as rdfxml-abbrev property elements
+      with no <at:md> wrapper when rss_triples == "rdf-xml"
+      (raptor_rss10_emit_rdfxml_item_triples :1482 gates mode 1 to the
+      rss serializer, mode 2 to atom).
+
+    Note: the ``f == RAPTOR_RSS_FIELD_ENCLOSURE`` emit branch in the C
+    (:2004-2050, the enc:type/enc:length attribute form) is unreachable
+    there — field 23 has RSS2_0_NS == RSS_NO_NS so it has no field URI
+    and intake can never store it; the enclosure link arrives as field
+    24 (enc:enclosure) and emits through the generic rdf:resource form,
+    which is what this writer does. The fields-less-item enclosure
+    conflation (:1762-1788) IS reachable and is replicated.
+    """
+
+    def __init__(
+        self,
+        base_uri: Optional[str] = None,
+        rss_triples: str = "rdf-xml",
+        now: int = 0,
+    ):
+        super().__init__(base_uri=base_uri, now=now)
+        self._default_nsid = RSS10_NS
+        self.rss_triples = rss_triples
+
+    def _rewrite_rss_to_atom(self, item: _Item, f: int, field: _Field):
+        return f  # no field rewriting outside atom mode
+
+    def _field_tag(self, f: int) -> Optional[str]:
+        name, nsid, _fl, _bt = _FIELD_NAMES[f]
+        if nsid == RSS10_NS:
+            return name  # default namespace
+        prefix = _NS_PREFIX.get(nsid)
+        return "%s:%s" % (prefix, name) if prefix else None
+
+    def _emit_atmd(self, w: _XmlWriter, item: _Item) -> None:
+        # rdf-xml triples mode: abbrev property elements inline, no
+        # <at:md> wrapper (that wrapper is atom-only)
+        if self.rss_triples != "rdf-xml":
+            return
+        stmts = [t for t in item.triples if t is not None]
+        if not stmts:
+            return
+        self._emit_abbrev_props(w, item.uri, stmts, set())
+
+    def _conflate_enclosure(self, item: _Item) -> None:
+        for encl in self.enclosures:
+            if encl.uri and item.uri == encl.uri:
+                for f in list(encl.fields):
+                    if f in (F_RDF_ENCLOSURE_TYPE, F_RDF_ENCLOSURE_LENGTH,
+                             F_RDF_ENCLOSURE_URL):
+                        continue
+                    for fd in encl.fields.pop(f):
+                        item.add_field(f, fd)
+                break
+
+    def _emit_rss_items(self, w: _XmlWriter) -> None:
+        items = [it for it in self.items if it is not None]
+        if not items:
+            return
+        w.start("items")
+        w.start("rdf:Seq")
+        for it in items:
+            w.empty("rdf:li", attrs=[("rdf:resource", self._rel(it.uri))])
+        w.end()
+        w.end()
+
+    def _emit_item(self, w, item: _Item, item_type: int,
+                   emit_container: bool) -> None:
+        if not item.fields_count:
+            self._conflate_enclosure(item)
+        if not item.fields_count:
+            return
+        if emit_container:
+            name, nsid, _c, _cf, _pf = _TYPES[item_type]
+            tag = name if nsid == RSS10_NS else (
+                "%s:%s" % (_NS_PREFIX[nsid], name)
+                if _NS_PREFIX.get(nsid) else name
+            )
+            attrs = []
+            if item.uri:
+                attrs.append(("rdf:about", self._rel(item.uri)))
+            w.start(tag, attrs=attrs)
+        for f in range(len(_FIELD_NAMES)):
+            if f == F_ITEMS or _field_uri(f) is None:
+                continue
+            if f == F_ATOM_AUTHOR:
+                continue  # "rss 1.0 ignores atom:author for now" (:2300)
+            tag = self._field_tag(f)
+            if tag is None:
+                continue
+            for field in item.fields.get(f, []):
+                if field.uri is not None:
+                    w.empty(
+                        tag, attrs=[("rdf:resource", self._rel(field.uri))]
+                    )
+                elif field.value is not None:
+                    prefer_cdata = f == F_CONTENT_ENCODED
+                    if field.is_xml and not prefer_cdata:
+                        w.start(tag, attrs=[("rdf:parseType", "Literal")])
+                        w.raw(field.value)
+                        w.end()
+                    elif field.is_xml:
+                        w.start(tag)
+                        w.raw("<![CDATA[" + field.value + "]]>")
+                        w.end()
+                    else:
+                        w.start(tag)
+                        w.cdata(field.value)
+                        w.end()
+        if item_type == T_CHANNEL:
+            self._emit_rss_items(w)
+        self._emit_atmd(w, item)
+        if emit_container:
+            w.end()
+
+    def to_xml(self) -> str:
+        self._build_items()
+        for item in self.items:
+            if item is not None:
+                self._move_statements(item)
+        if self.common.get(T_CHANNEL):
+            self.channel = self.common[T_CHANNEL][0]
+            self._move_statements(self.channel)
+        self._move_anonymous_statements()
+
+        if self.channel is None:
+            raise ValueError("No RSS channel found")
+
+        w = _XmlWriter()
+        nsdecls = [(None, _NS_URI[RSS10_NS])]
+        for nsid in sorted(_NS_PREFIX):
+            if _NS_URI.get(nsid) and nsid != RSS10_NS:
+                nsdecls.append((_NS_PREFIX[nsid], _NS_URI[nsid]))
+        seen_prefixes = {p for p, _u in nsdecls}
+        for prefix, uri in self.user_namespaces:
+            if prefix and prefix not in seen_prefixes:
+                nsdecls.append((prefix, uri))
+                seen_prefixes.add(prefix)
+        w.start("rdf:RDF", nsdecls=nsdecls)
+        self._emit_item(w, self.channel, T_CHANNEL, emit_container=True)
+        w.raw("\n")
+        for item in self.items:
+            if item is not None:
+                self._emit_item(w, item, T_ITEM, emit_container=True)
+                w.raw("\n")
+        for typei in range(T_CHANNEL + 1, len(_TYPES)):
+            if typei == T_ATOM_AUTHOR:
+                continue
+            for item in self.common.get(typei, []):
+                self._emit_item(w, item, typei, emit_container=True)
+        w.end()
+        return w.getvalue() + "\n"
+
+
+def to_rss10(
+    triples: Iterable[Triple],
+    namespaces: Iterable[Tuple[Optional[str], str]] = (),
+    base_uri: Optional[str] = None,
+    rss_triples: str = "rdf-xml",
+    now: int = 0,
+) -> str:
+    """Serialize triples (fed in document order) to RSS 1.0 XML, like
+    rapper -o rss-1.0 -f rssTriples=rdf-xml."""
+    ser = Rss10Serializer(base_uri=base_uri, rss_triples=rss_triples,
+                          now=now)
     for prefix, uri in namespaces:
         if not any(
             p == prefix or u == uri for p, u in ser.user_namespaces

@@ -274,6 +274,55 @@ _RT_WRITERS = dict(_WRITERS)
 _RT_WRITERS["rdfxml-abbrev"] = K.to_rdfxml_abbrev
 
 
+def rss10_roundtrip_stats(
+    triples: DataFrame, group_col: str = "conv_id"
+) -> DataFrame:
+    """Serialize each feed graph as RSS 1.0 (kernel/atom.py
+    Rss10Serializer, the is_atom==0 mode of src/raptor_serialize_rss.c),
+    reparse with the rss-tag-soup kernel, and report whether the
+    roundtrip was lossless. Feed models produced by the rss parser
+    itself stay inside the serializer's lossless subset (fields +
+    items rdf:Seq + typed nodes), so for this corpus the oracle pins
+    lossless = true and n_out == n_in. One shuffle on the feed key,
+    then Arrow-batched per-feed kernels — identical scaling shape to
+    the other buffered writers."""
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from raptor_spark.kernel import rss as R
+        from raptor_spark.kernel.atom import to_rss10
+        from raptor_spark.kernel.compare import graphs_isomorphic
+
+        tl = _rows_to_triples(pdf)
+        n_in = len(set(tl))
+        try:
+            xml = to_rss10(tl)
+            back, errs = R.parse_document(xml, base_uri="http://roundtrip/")
+            ok = (not errs) and graphs_isomorphic(tl, back)
+            n_out = -1 if errs else len(set(back))
+        except ValueError:
+            ok, n_out = False, -1
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_in": [n_in],
+                "n_out": [n_out],
+                "lossless": [bool(ok)],
+            }
+        )
+
+    cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
+            "obj_datatype", "obj_lang", "graph"]
+    return (
+        triples.select(*cols)
+        .groupBy(group_col)
+        .applyInPandas(
+            run,
+            schema=f"{group_col} string, n_in long, n_out long, "
+            "lossless boolean",
+        )
+    )
+
+
 def serialize_roundtrip_counts(
     triples: DataFrame, fmt: str = "trig", group_col: str = "conv_id"
 ) -> DataFrame:

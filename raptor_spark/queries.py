@@ -424,18 +424,9 @@ SELECT conv_id, '_:rdfa3',
 """
 
 
-def q_feed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feed ingestion end-to-end: synthesize one RSS 2.0 feed per nation
-    (suppliers as items, pure column expressions incl. the in-feed
-    document order), parse with the rss-tag-soup kernel through the
-    shared Arrow-batched parse operator (reference: src/raptor_rss.c
-    field tables + raptor_atom_to_rss uplift), and return the RSS-1.0
-    triple model. Covers channel/item identification by rss:link,
-    the rdf:Seq ordinal connection, the description -> content:encoded
-    clone, and the parsedate-equivalent pubDate -> ISO dc:date uplift —
-    all reconstructed relationally by the oracle."""
-    from raptor_spark.operators.parse import parse_documents, triples_of
-
+def _synth_feed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One RSS 2.0 feed document per nation (suppliers as items), built
+    with pure column expressions including the in-feed document order."""
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     item_xml = F.format_string(
         " <item>\n  <title>%s</title>\n"
@@ -489,10 +480,42 @@ def q_feed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "http://ex.org/feeds/%s.rss", F.col("n_nationkey")
         ).alias("base_uri"),
     )
+    return docs
+
+
+def q_feed_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed ingestion end-to-end: synthesize one RSS 2.0 feed per nation
+    (suppliers as items, pure column expressions incl. the in-feed
+    document order), parse with the rss-tag-soup kernel through the
+    shared Arrow-batched parse operator (reference: src/raptor_rss.c
+    field tables + raptor_atom_to_rss uplift), and return the RSS-1.0
+    triple model. Covers channel/item identification by rss:link,
+    the rdf:Seq ordinal connection, the description -> content:encoded
+    clone, and the parsedate-equivalent pubDate -> ISO dc:date uplift —
+    all reconstructed relationally by the oracle."""
+    from raptor_spark.operators.parse import parse_documents, triples_of
+
+    docs = _synth_feed_docs(spark, sf_dir)
     parsed = parse_documents(docs, base_uri_col="base_uri")
     return triples_of(parsed).select(
         "conv_id", "subj", "pred", "obj_kind", "obj_lex",
     )
+
+
+def q_serialize_rt_rss10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 1.0 serializer roundtrip: parse the per-nation feeds into the
+    RSS model, serialize each feed back to RSS 1.0 XML (kernel/atom.py
+    Rss10Serializer — the is_atom==0 mode of the reference's
+    src/raptor_serialize_rss.c), reparse with the rss-tag-soup kernel
+    and verify the roundtrip is lossless. Models the rss parser itself
+    produced stay inside the serializer's lossless subset, so the
+    oracle pins n_out == n_in and lossless = true per feed."""
+    from raptor_spark.operators.parse import parse_documents, triples_of
+    from raptor_spark.operators.serialize import rss10_roundtrip_stats
+
+    docs = _synth_feed_docs(spark, sf_dir)
+    parsed = parse_documents(docs, base_uri_col="base_uri")
+    return rss10_roundtrip_stats(triples_of(parsed))
 
 
 _FEED_ORACLE = """
@@ -864,6 +887,16 @@ def _rt_query(fmt: str):
         "against the relational statement-count oracle."
     )
     return q
+
+
+_RSS10_RT_ORACLE = """
+SELECT conv_id,
+       COUNT(*) AS n_in,
+       COUNT(*) AS n_out,
+       TRUE AS lossless
+FROM (%s) model
+GROUP BY conv_id
+""" % _FEED_ORACLE
 
 
 _SERIALIZE_RT_ORACLE = """
@@ -1808,6 +1841,7 @@ QUERIES = {
     "serialize_rt_json": _rt_query("json"),
     "serialize_rt_dot": _rt_query("dot"),
     "serialize_rt_html": _rt_query("html"),
+    "serialize_rt_rss10": q_serialize_rt_rss10,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1851,6 +1885,7 @@ ORACLES = {
     "serialize_rt_json": _SERIALIZE_RT_ORACLE,
     "serialize_rt_dot": _SERIALIZE_RT_ORACLE,
     "serialize_rt_html": _SERIALIZE_RT_ORACLE,
+    "serialize_rt_rss10": _RSS10_RT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
