@@ -923,3 +923,321 @@ def to_html(triples: Iterable[Triple]) -> str:
         + "".join(rows)
         + "  </table>\n</body>\n</html>\n"
     )
+
+
+# --------------------------------------------------------------------------
+# mKR ("my knowledge representation") — the turtle writer's mkr mode
+# --------------------------------------------------------------------------
+
+_RS_RESULT_VARIABLE = "http://jena.hpl.hp.com/2003/03/result-set#resultVariable"
+
+
+def to_mkr(
+    triples: Iterable[Triple],
+    namespaces: Iterable[Tuple[Optional[str], str]] = (),
+    base_uri: Optional[str] = None,
+    write_base: bool = True,
+) -> str:
+    """Serialize exactly like the reference's mkr serializer — the
+    emit_mkr branches of src/raptor_serialize_turtle.c piggybacked on
+    the turtle abbrev model (registered at src/raptor_serialize.c:83):
+    '@base/@prefix ... ;' prologue, 'subject has\\n pred = [objs], ...'
+    blocks, 'rdf:type' spelled out, '{ _:b has ... ;}' inline bnodes,
+    '{}' empty bnodes, bare ','-separated collection items inside the
+    property's [ ], rdf:nil as a single space, and the rs:ResultSet ->
+    'begin relation result ; ... end relation result ;' CSV relation
+    state machine (raptor_mkr_emit_subject_resultset :655-830).
+    Verified byte-exact against all 10 tests/mkr/*.mkr goldens."""
+
+    def term_of(kind, lex, dt=None, lang=None):
+        if kind == KIND_URI:
+            return ("u", lex, None, None)
+        if kind == KIND_BLANK:
+            return ("b", lex, None, None)
+        return ("l", lex, lang, dt)
+
+    uri_subjects: Dict[tuple, set] = {}
+    blank_subjects: Dict[tuple, set] = {}
+    count_as_object: Dict[tuple, int] = defaultdict(int)
+    for t in triples:
+        subj = (
+            ("b", t.subj[2:], None, None)
+            if t.subj.startswith("_:")
+            else ("u", t.subj, None, None)
+        )
+        table = blank_subjects if subj[0] == "b" else uri_subjects
+        props = table.setdefault(subj, set())
+        obj = term_of(t.obj_kind, t.obj_lex, t.obj_datatype, t.obj_lang)
+        props.add((("u", t.pred, None, None), obj))
+        if obj[0] in ("u", "b"):
+            count_as_object[obj] += 1
+
+    declared: List[Tuple[Optional[str], str]] = [("rdf", RDF_NS)]
+    for prefix, ns in namespaces:
+        prefix = prefix or None
+        if any(p == prefix or (u and ns and u == ns) for p, u in declared):
+            continue
+        declared.append((prefix, ns))
+
+    w = _TurtleExactWriter(None, [])
+    if base_uri and write_base:
+        w.raw("@base ")
+        w.reference(base_uri)
+        w.raw(" ;\n")
+    w.base = base_uri
+    for prefix, ns in declared:
+        w.raw("@prefix %s: " % (prefix or ""))
+        w.reference(ns)
+        w.raw(" ;\n")
+    w.namespaces = declared + [("xml", _XML_NS)]
+    w.newline()
+
+    rdf_type = ("u", RDF_TYPE, None, None)
+    rdf_first = ("u", RDF_FIRST, None, None)
+    rdf_rest = ("u", RDF_REST, None, None)
+    rs_result_variable = ("u", _RS_RESULT_VARIABLE, None, None)
+    invalid: set = set()
+
+    # serializer-wide state, like raptor_turtle_context
+    st = {
+        "resultset": False,
+        "rs_size": 0, "rs_arity": 0, "rs_ntuple": 0,
+        "rs_nvalue": 0, "rs_processing_value": False,
+    }
+
+    def sorted_props(props):
+        return sorted(props, key=lambda po: (_ttlx_term_key(po[0]),
+                                             _ttlx_term_key(po[1])))
+
+    def resource(uri):
+        # raptor_turtle_emit_resource mkr branch: rdf:nil is ' '
+        if uri == RDF_NIL:
+            w.raw(" ")
+        else:
+            w.resource(uri)
+
+    def emit_object(obj, depth):
+        if obj[0] == "u":
+            resource(obj[1])
+        elif obj[0] == "l":
+            w.literal(obj[1], obj[2], obj[3])
+        else:
+            emit_blank(obj, depth)
+
+    def emit_blank(obj, depth):
+        blank = blank_subjects.get(obj)
+        if (
+            count_as_object[obj] == 1
+            and blank is not None
+            and obj not in invalid
+        ):
+            emit_subject(obj, blank, depth + 1)
+            invalid.add(obj)
+        else:
+            w.raw("_:" + obj[1])
+            if not st["resultset"]:
+                w.raw(" has")
+
+    def emit_properties(props, depth):
+        last_pred = None
+        for pred, obj in sorted_props(props):
+            if pred != last_pred:
+                if last_pred is not None:
+                    # terminate previous object list: '], ' + newline
+                    w.raw("], ")
+                    w.newline()
+                if pred == rdf_type:
+                    w.raw("rdf:type")
+                else:
+                    w.resource(pred[1])
+                w.raw(" = [")
+            else:
+                w.raw(", ")
+            emit_object(obj, depth + 1)
+            last_pred = pred
+
+    def emit_collection(subj, depth):
+        w.level += 1
+        first = True
+        node = subj
+        while True:
+            props = dict(sorted_props(
+                blank_subjects.get(node, uri_subjects.get(node, ()))
+            ))
+            if rdf_first not in props:
+                break
+            if not first:
+                w.raw(",")
+            first = False
+            emit_object(props[rdf_first], depth + 1)
+            rest = props.get(rdf_rest)
+            if rest is None or rest[0] != "b":
+                break
+            invalid.add(node)
+            node = rest
+        invalid.add(node)
+        w.level -= 1
+
+    def emit_resultset(props, depth):
+        # raptor_mkr_emit_subject_resultset: per-frame loop over the
+        # sorted (pred, obj) pairs with serializer-wide rs counters
+        last_pred = None
+        skip_object = False
+        for pred, obj in sorted_props(props):
+            if pred != last_pred:
+                if last_pred is not None:
+                    if not st["rs_arity"]:
+                        # last variable in first row
+                        w.raw(" ;")
+                        w.newline()
+                        st["rs_ntuple"] += 1
+                    elif not st["rs_nvalue"]:
+                        pass  # size not emitted
+                    elif (
+                        st["rs_processing_value"]
+                        and st["rs_nvalue"] == st["rs_arity"]
+                    ):
+                        # previous value was last value of row
+                        st["rs_processing_value"] = False
+                        w.raw(" ;")
+                        w.newline()
+                        st["rs_nvalue"] = 0
+                        st["rs_ntuple"] += 1
+                        if st["rs_ntuple"] > st["rs_size"]:
+                            w.raw("end relation result ;")
+                            w.newline()
+                            break
+                local = None
+                q = w.qname(pred[1])
+                if q is not None:
+                    local = q.split(":", 1)[1]
+                if pred == rdf_type:
+                    skip_object = True
+                elif q is not None:
+                    if local == "resultVariable":
+                        w.raw("result is relation with format = csv ;")
+                        w.newline()
+                        w.raw("begin relation result ;")
+                        w.newline()
+                        skip_object = False
+                    elif local == "size":
+                        st["rs_arity"] = st["rs_nvalue"]
+                        st["rs_nvalue"] = 0
+                        skip_object = False
+                    elif local in ("solution", "binding"):
+                        skip_object = False
+                    elif local == "variable":
+                        skip_object = True
+                    elif local == "value":
+                        st["rs_processing_value"] = True
+                        st["rs_nvalue"] += 1
+                        skip_object = False
+                    else:
+                        skip_object = True
+                else:
+                    w.reference(pred[1])
+                    skip_object = False
+            else:
+                if not st["rs_arity"]:
+                    w.raw(", ")  # not last variable
+            if not skip_object:
+                if obj[0] == "u":
+                    resource(obj[1])
+                elif obj[0] == "l":
+                    if not st["rs_arity"]:
+                        st["rs_nvalue"] += 1
+                        w.raw(_csv_string(obj[1]))
+                    elif not st["rs_nvalue"]:
+                        try:
+                            st["rs_size"] = int(obj[1])
+                        except ValueError:
+                            st["rs_size"] = 0
+                    else:
+                        w.raw(_csv_string(obj[1]))
+                        if st["rs_nvalue"] < st["rs_arity"]:
+                            w.raw(", ")
+                else:
+                    emit_blank(obj, depth + 1)
+            last_pred = pred
+
+    def emit_subject(subj, props, depth):
+        if not props:
+            return
+        spo = sorted(set(po[0] for po in props), key=_ttlx_term_key)
+        collection = False
+        if len(props) >= 2:
+            sp = sorted_props(props)
+            p1, p2 = sp[0][0], sp[1][0]
+            if {p1, p2} == {rdf_first, rdf_rest} and depth > 0:
+                collection = True
+            elif p1 == rs_result_variable:
+                st["resultset"] = True
+        blank = True
+        if subj[0] == "u":
+            if st["resultset"]:
+                w.raw("result is ")
+                resource(subj[1])
+                w.raw(" ;")
+                w.newline()
+            else:
+                resource(subj[1])
+                w.raw(" has")
+            blank = False
+            collection = False
+        else:
+            c_obj = count_as_object[subj]
+            if c_obj == 1 and depth > 1:
+                blank = True
+            elif c_obj == 0:
+                w.raw("{}")
+                blank = False
+            elif not collection and c_obj > 1:
+                if not st["resultset"]:
+                    w.raw("_:" + subj[1])
+                    w.raw(" has")
+        if collection:
+            emit_collection(subj, depth)
+        elif st["resultset"]:
+            emit_resultset(props, depth)
+        else:
+            if blank and depth > 1:
+                w.raw("{ ")
+                w.newline()
+                w.raw("_:" + subj[1])
+                w.raw(" has")
+            w.level += 1
+            w.newline()
+            emit_properties(props, depth)
+            w.level -= 1
+            if blank and depth > 1:
+                w.raw("]")
+                w.newline()
+                w.raw(";}")
+        if depth == 0:
+            if not st["resultset"]:
+                w.raw("]")
+                w.raw(" ;")
+                w.newline()
+                w.newline()
+            st["resultset"] = False
+        _ = spo
+
+    for subj in sorted(uri_subjects, key=_ttlx_term_key):
+        if subj not in invalid:
+            emit_subject(subj, uri_subjects[subj], 0)
+    for subj in sorted(blank_subjects, key=_ttlx_term_key):
+        if subj in invalid:
+            continue
+        if count_as_object[subj] == 1:
+            continue
+        emit_subject(subj, blank_subjects[subj], 0)
+
+    return "".join(w.parts)
+
+
+def _csv_string(s: str) -> str:
+    """raptor_turtle_writer_csv_string: quote only when the value holds
+    a double quote, comma, CR or LF; embedded quotes double."""
+    if any(c in s for c in '",\r\n'):
+        return '"' + s.replace('"', '""') + '"'
+    return s

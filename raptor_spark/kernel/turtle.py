@@ -95,6 +95,7 @@ class TurtleParser:
         # raptor parser hands its serializer); prefix "" = default
         self.namespaces: List[Tuple[str, str]] = []
         self.bnode_counter = 0
+        self._pending_n = 0
         self.triples: List[Triple] = []
         self.errors: List[dict] = []
         self.graph: Optional[str] = None
@@ -752,24 +753,39 @@ class TurtleParser:
         return (KIND_LITERAL, lex, dt, lang)
 
     def _bnode_property_list(self) -> str:
-        """'[' predicateObjectList? ']' -> '_:genidN'."""
+        """'[' predicateObjectList? ']' -> '_:genidN'.
+
+        The generated id is allocated when ']' is reached — the
+        reference's grammar action runs at reduction
+        (turtle_parser.y:1103-1108), so nested property lists number
+        inner-first. The inner triples are parsed against a placeholder
+        subject and patched once the id exists (the reference defers
+        them the same way and attaches the subject afterwards)."""
         self._expect("[")
-        node = "_:" + self._genid()
         self._skip_ws()
         if self._peek() == "]":
             self.pos += 1
-            return node
-        self._predicate_object_list(node)
+            return "_:" + self._genid()
+        self._pending_n += 1
+        placeholder = "_:\x00pending%d" % self._pending_n
+        mark = len(self.triples)
+        self._predicate_object_list(placeholder)
         self._skip_ws()
         self._expect("]")
+        node = "_:" + self._genid()
+        for i in range(mark, len(self.triples)):
+            if self.triples[i].subj == placeholder:
+                self.triples[i] = self.triples[i]._replace(subj=node)
         return node
 
     def _collection(self) -> str:
         """'(' object* ')' -> rdf:first/rest chain head or rdf:nil.
 
-        The reference builds the chain tail-first (turtle_parser.y:1157-1270);
-        chain shape is identical, node numbering may differ (comparison is
-        structural).
+        The reference builds the chain tail-first at the ')' reduction
+        (turtle_parser.y:1157-1270, generate_bnodeid in the
+        i = size-1..0 loop), so the LAST element's node carries the
+        smallest generated id — replicated here so labels match the
+        reference byte-for-byte wherever they surface.
         """
         self._expect("(")
         items: List[Tuple[int, str, Optional[str], Optional[str]]] = []
@@ -783,7 +799,8 @@ class TurtleParser:
             items.append(self._object())
         if not items:
             return RDF_NIL
-        nodes = ["_:" + self._genid() for _ in items]
+        nodes = ["_:" + g for g in
+                 reversed([self._genid() for _ in items])]
         for k, (kind, lex, dt, lang) in enumerate(items):
             self._emit(nodes[k], RDF_FIRST, kind, lex, dt, lang)
             if k + 1 < len(nodes):

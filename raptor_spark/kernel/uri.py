@@ -10,7 +10,7 @@ RFC.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 
 class UriDetail(NamedTuple):
@@ -71,8 +71,10 @@ def uri_parse(s: str) -> UriDetail:
 def normalize_path(path: str) -> str:
     """Dot-segment removal (reference: raptor_uri_normalize_path).
 
-    Removes "./" components and "<component>/../" pairs, but keeps ".."
-    components that climb beyond the root (e.g. "/foo/../.." -> "/..").
+    Removes "./" components and "<component>/../" pairs, then strips
+    leading "/../" and "/./" runs (RFC3986 5.4.2 abnormal examples,
+    reference raptor_rfc2396.c:472-485). A bare trailing "/.." with no
+    component to consume survives (e.g. "/foo/../.." -> "/..").
     """
     # remove all "./" components and a trailing "."
     comps = path.split("/")
@@ -101,6 +103,16 @@ def normalize_path(path: str) -> str:
     if len(comps) >= 2 and comps[-1] == ".." and comps[-2] != "":
         comps[-2:] = [""]
         path = "/".join(comps)
+
+    # RFC3986 Appendix C.2 / 5.4.2 abnormal examples: remove leading
+    # "/../" and "/./" (raptor_rfc2396.c:472-485)
+    while True:
+        if path.startswith("/../"):
+            path = path[3:]
+        elif path.startswith("/./"):
+            path = path[2:]
+        else:
+            break
     return path
 
 
@@ -250,3 +262,106 @@ def _unsplit(
     if fragment is not None:
         out.append("#" + fragment)
     return "".join(out)
+
+
+# -- file <-> URI mapping (POSIX) ------------------------------------------
+
+# characters escaped when turning a filename into a file: URI
+# (reference: raptor_uri_filename_char_needs_escape, raptor_uri.c:145-170)
+_FILENAME_ESCAPE_SET = set('%#?<>"{}|^`[]\\')
+
+
+def _filename_char_needs_escape(c: str) -> bool:
+    o = ord(c)
+    return o <= 0x20 or 0x7F <= o <= 0xFF or c in _FILENAME_ESCAPE_SET
+
+
+def filename_to_uri(filename: Optional[str],
+                    cwd: Optional[str] = None) -> Optional[str]:
+    """Convert a POSIX filename to a file: URI.
+
+    Unsafe URI characters become %XX escapes and the resulting path is
+    dot-segment normalized (reference:
+    raptor_uri_counted_filename_to_uri_string, raptor_uri.c:832-1060,
+    POSIX branch). Relative filenames are joined to @cwd; pass cwd
+    explicitly in distributed code — the implicit getcwd of the C is
+    driver-state a cluster job must not depend on. Non-ASCII characters
+    are escaped as the %XX sequence of each UTF-8 byte.
+    """
+    if not filename:
+        return None
+    if not filename.startswith("/"):
+        if cwd is None:
+            import os
+
+            cwd = os.getcwd()
+        filename = cwd.rstrip("/") + "/" + filename
+    out = []
+    for b in filename.encode("utf-8"):
+        c = chr(b)
+        if _filename_char_needs_escape(c):
+            out.append("%%%02X" % b)
+        else:
+            out.append(c)
+    return "file://" + normalize_path("".join(out))
+
+
+def uri_to_filename_fragment(
+    uri_string: Optional[str],
+) -> Tuple[Optional[str], Optional[str]]:
+    """Convert a file: URI to a (filename, fragment) pair, POSIX rules.
+
+    Reference: raptor_uri_uri_string_to_counted_filename_fragment
+    (raptor_uri.c:1100-1260). Rejections return (None, None): non-file
+    schemes, non-local authorities (anything but "" / "localhost"),
+    empty paths, malformed %-escapes and %00. The decoded path is
+    dot-segment normalized so crafted file URIs cannot traverse above
+    the root (the reference's Issue security fix).
+    """
+    if not uri_string:
+        return None, None
+    ud = uri_parse(uri_string)
+    if ud.scheme is None or ud.scheme.lower() != "file":
+        return None, None
+    authority = ud.authority
+    if authority is not None:
+        if authority == "" or authority.lower() == "localhost":
+            authority = None
+        else:
+            return None, None  # POSIX: no remote authorities
+    if not ud.path:
+        return None, None
+    # percent-decode bytes; reject malformed escapes and decoded NULs
+    raw = ud.path.encode("utf-8")
+    out = bytearray()
+    i = 0
+    hexdigits = b"0123456789ABCDEFabcdef"
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x25:  # '%'
+            if (
+                i + 2 >= len(raw)
+                or raw[i + 1] not in hexdigits
+                or raw[i + 2] not in hexdigits
+            ):
+                return None, None
+            v = int(raw[i + 1 : i + 3].decode("ascii"), 16)
+            if v == 0:
+                return None, None
+            out.append(v)
+            i += 3
+        else:
+            out.append(b)
+            i += 1
+    try:
+        filename = out.decode("utf-8")
+    except UnicodeDecodeError:
+        return None, None
+    filename = normalize_path(filename)
+    return filename, ud.fragment
+
+
+def uri_to_filename(uri_string: Optional[str]) -> Optional[str]:
+    """file: URI -> filename (reference:
+    raptor_uri_uri_string_to_filename)."""
+    return uri_to_filename_fragment(uri_string)[0]

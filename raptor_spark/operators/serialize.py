@@ -38,6 +38,7 @@ _WRITERS = {
     "json": K.to_json,
     "dot": K.to_dot,
     "html": K.to_html,
+    "mkr": K.to_mkr,
 }
 
 

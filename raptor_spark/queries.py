@@ -16,6 +16,7 @@ Conventions:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -615,6 +616,52 @@ FROM customer
 """
 
 
+def q_file_uri_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file <-> URI mapping (reference: raptor_uri.c:832-1260
+    raptor_uri_filename_to_uri_string / uri_string_to_filename, POSIX
+    rules): mint file: URIs for part-derived paths — '#' in p_brand and
+    spaces in p_name exercise the %XX escape set, and every third path
+    carries a 'tmp/../' infix the minter must dot-segment-normalize
+    away — then map each URI back to its filename. The oracle rebuilds
+    both columns relationally (the traversal infix normalizes to the
+    same URI, so the oracle is uniform)."""
+    from raptor_spark.kernel.uri import filename_to_uri, uri_to_filename
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    path = F.concat(
+        F.lit("/data/"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("tmp/../")).otherwise(
+            F.lit("")
+        ),
+        F.col("p_brand"),
+        F.lit("/"),
+        F.col("p_name"),
+        F.lit(".txt"),
+    )
+
+    @F.pandas_udf("string")
+    def to_uri(s: pd.Series) -> pd.Series:
+        return s.map(filename_to_uri)
+
+    @F.pandas_udf("string")
+    def to_file(s: pd.Series) -> pd.Series:
+        return s.map(uri_to_filename)
+
+    out = part.select(
+        F.col("p_partkey"), to_uri(path).alias("file_uri")
+    ).withColumn("filename", to_file(F.col("file_uri")))
+    return out
+
+
+_FILE_URI_ORACLE = """
+SELECT p_partkey,
+       'file:///data/' || replace(replace(p_brand, '#', '%23'), ' ', '%20')
+           || '/' || replace(p_name, ' ', '%20') || '.txt' AS file_uri,
+       '/data/' || p_brand || '/' || p_name || '.txt' AS filename
+FROM part
+"""
+
+
 def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity linking: mention detection over text, candidate generation
     via broadcast dictionary join, scoring, best-candidate-per-document
@@ -887,6 +934,43 @@ def _rt_query(fmt: str):
         "against the relational statement-count oracle."
     )
     return q
+
+
+def q_serialize_rt_mkr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mKR serializer exercised distributed: serialize each
+    conversation's graph with the byte-exact mkr writer
+    (kernel/serialize.to_mkr — the emit_mkr mode of the reference's
+    src/raptor_serialize_turtle.c, verified against all 10 tests/mkr
+    goldens in pytest), then count subject blocks with a pure column
+    expression: every subject — top-level 'X has' or inlined
+    '{ _:b has' — emits exactly one ' has\\n'. The conversation graphs
+    are one order node plus one once-referenced lineitem bnode each, so
+    the oracle pins n_subjects = 1 + lineitem count."""
+    from raptor_spark.operators.serialize import serialize_documents
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    docs = serialize_documents(triples, "mkr")
+    return docs.select(
+        "conv_id",
+        (F.size(F.split(F.col("payload"), " has\n")) - 1).alias(
+            "n_subjects"
+        ),
+    )
+
+
+_MKR_RT_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS k, l_linenumber AS ln, l_partkey AS pk,
+         CAST(l_quantity AS INT) AS qty
+  FROM lineitem
+),
+cnt AS (SELECT k, COUNT(*) AS n FROM li GROUP BY k)
+SELECT 'ord-' || o_orderkey AS conv_id,
+       1 + COALESCE(cnt.n, 0) AS n_subjects
+FROM orders LEFT JOIN cnt ON cnt.k = o_orderkey
+"""
 
 
 _RSS10_RT_ORACLE = """
@@ -1829,6 +1913,7 @@ QUERIES = {
     "rdfa_extract": q_rdfa_extract,
     "feed_triples": q_feed_triples,
     "uri_mint": q_uri_mint,
+    "file_uri_map": q_file_uri_map,
     "entity_link": q_entity_link,
     "kg_entity_link": q_kg_entity_link,
     "pred_histogram_salted": q_pred_histogram_salted,
@@ -1842,6 +1927,7 @@ QUERIES = {
     "serialize_rt_dot": _rt_query("dot"),
     "serialize_rt_html": _rt_query("html"),
     "serialize_rt_rss10": q_serialize_rt_rss10,
+    "serialize_rt_mkr": q_serialize_rt_mkr,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1873,6 +1959,7 @@ ORACLES = {
     "rdfa_extract": _RDFA_ORACLE,
     "feed_triples": _FEED_ORACLE,
     "uri_mint": _URI_MINT_ORACLE,
+    "file_uri_map": _FILE_URI_ORACLE,
     "entity_link": _ENTITY_LINK_ORACLE,
     "kg_entity_link": _KG_ENTITY_LINK_ORACLE,
     "pred_histogram_salted": _PRED_HISTOGRAM_ORACLE,
@@ -1886,6 +1973,7 @@ ORACLES = {
     "serialize_rt_dot": _SERIALIZE_RT_ORACLE,
     "serialize_rt_html": _SERIALIZE_RT_ORACLE,
     "serialize_rt_rss10": _RSS10_RT_ORACLE,
+    "serialize_rt_mkr": _MKR_RT_ORACLE,
     "dedup_exact": _DEDUP_EXACT_ORACLE,
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
