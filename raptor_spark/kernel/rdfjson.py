@@ -31,38 +31,34 @@ from raptor_spark.kernel.terms import (
 )
 
 
+import re
+
+# one linear scan: strings (kept, so '//' inside URLs is never a
+# comment), /* */ blocks (dropped; unterminated runs to EOF), // line
+# comments (dropped up to but not including the newline). The string
+# branch tolerates an unterminated string / lone trailing backslash the
+# same way the char-loop did (kept verbatim to EOF).
+_STRIP_RE = re.compile(
+    r'"(?:\\.|[^"\\])*(?:"|\\?\Z)'
+    r"|/\*.*?(?:\*/|\Z)"
+    r"|//[^\n]*",
+    re.S,
+)
+
+
 def _strip_comments(text: str) -> str:
     """Remove /* */ and // comments outside JSON strings."""
     out = []
-    i, n = 0, len(text)
-    in_str = False
-    while i < n:
-        c = text[i]
-        if in_str:
-            out.append(c)
-            if c == "\\" and i + 1 < n:
-                out.append(text[i + 1])
-                i += 2
-                continue
-            if c == '"':
-                in_str = False
-            i += 1
-            continue
-        if c == '"':
-            in_str = True
-            out.append(c)
-            i += 1
-            continue
-        if c == "/" and i + 1 < n and text[i + 1] == "*":
-            j = text.find("*/", i + 2)
-            i = n if j < 0 else j + 2
-            continue
-        if c == "/" and i + 1 < n and text[i + 1] == "/":
-            j = text.find("\n", i + 2)
-            i = n if j < 0 else j
-            continue
-        out.append(c)
-        i += 1
+    last = 0
+    for m in _STRIP_RE.finditer(text):
+        start = m.start()
+        if text[start] == '"':
+            continue  # string literal — keep (no .group() copy)
+        out.append(text[last:start])
+        last = m.end()
+    if not out:
+        return text
+    out.append(text[last:])
     return "".join(out)
 
 

@@ -51,6 +51,9 @@ _RESERVED_ESCAPES = set("-_~.!$&'()*+,;=/?#@%")
 _HEX = set("0123456789abcdefABCDEF")
 
 _WS_RE = re.compile(r"(?:[ \t\v\r\n]|#[^\r\n]*)*")
+_WS_OR_HASH = " \t\v\r\n#"
+# PN_CHARS|'.' body of a blank node label (_is_pn_chars ∪ {'.'})
+_BNODE_BODY_RE = re.compile(r"(?:[A-Za-z0-9_\-.]|[^\x00-\x7F])*")
 _IRI_SIMPLE_RE = re.compile(r'<([!#-;=?-\[\]_a-z~\x80-\U0010FFFF]*)>')
 # one name-token chunk: PN_CHARS|'.'|':' | %HH | \<reserved>; any char
 # > 0x7F counts as PN_CHARS_BASE (matches _is_pn_chars semantics)
@@ -149,12 +152,24 @@ class TurtleParser:
     # ----- low-level scanning -------------------------------------------
 
     def _skip_ws(self) -> None:
-        # one regex hop over whitespace+comments (behavior-identical to
-        # the per-char loop; hot path — called between every token)
-        m = _WS_RE.match(self.text, self.pos)
+        # hot path — called between every token. Two inline shortcuts
+        # (no whitespace at all; exactly one space) cover most call
+        # sites; anything else takes the one-regex hop over
+        # whitespace+comments (behavior-identical to the per-char loop)
+        text = self.text
+        pos = self.pos
+        c = text[pos : pos + 1]
+        if c not in _WS_OR_HASH:  # a single non-ws char ('' tests as "in")
+            return
+        elif c == " ":
+            nxt = text[pos + 1 : pos + 2]
+            if nxt and nxt not in _WS_OR_HASH:
+                self.pos = pos + 1
+                return
+        m = _WS_RE.match(text, pos)
         end = m.end()
-        if end != self.pos:
-            self.line += self.text.count("\n", self.pos, end)
+        if end != pos:
+            self.line += text.count("\n", pos, end)
             self.pos = end
 
     def _peek(self) -> str:
@@ -639,8 +654,9 @@ class TurtleParser:
             self.pos += 1
         else:
             raise ParseError("bad blank node label", self.line)
-        while self.pos < n and (_is_pn_chars(self.text[self.pos]) or self.text[self.pos] == "."):
-            self.pos += 1
+        # regex hop over the PN_CHARS|'.' body (same accepted set as the
+        # per-char loop)
+        self.pos = _BNODE_BODY_RE.match(self.text, self.pos).end()
         label = self.text[start : self.pos]
         while label.endswith("."):
             label = label[:-1]

@@ -10,7 +10,11 @@ RFC.
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple, Optional, Tuple
+
+# scheme "://" exactly as uri_parse would split it
+_ABS_HIER_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
 class UriDetail(NamedTuple):
@@ -122,6 +126,14 @@ def resolve_uri(base_uri: Optional[str], reference_uri: str) -> str:
     Mirrors raptor_uri_resolve_uri_reference; returns '' on failure
     (e.g. relative reference with no base).
     """
+    # fast path (strict subset): an absolute hierarchical reference with
+    # no "/." anywhere resolves to itself — its path normalization is the
+    # identity and recomposition is lossless. "/." catches every dot
+    # segment a path with an authority can contain ("/./", "/../",
+    # trailing "/." and "/..").
+    if _ABS_HIER_RE.match(reference_uri) and "/." not in reference_uri:
+        return reference_uri
+
     ref = uri_parse(reference_uri)
 
     # "" or "#frag" same-document reference
