@@ -121,42 +121,6 @@ def guess_format(text: str) -> str:
     return "turtle"
 
 
-def _rows_for_doc(conv_id, text, fmt, base_uri, out):
-    try:
-        triples, errors = parse_one(text, fmt, base_uri)
-    except Exception as e:  # kernel bug guard: one bad doc must not kill a batch
-        triples, errors = [], [{"line": 0, "message": "internal: %r" % e}]
-    for t in triples:
-        out["conv_id"].append(conv_id)
-        out["rec"].append("t")
-        out["subj"].append(t.subj)
-        out["pred"].append(t.pred)
-        out["obj_kind"].append(t.obj_kind)
-        out["obj_lex"].append(t.obj_lex)
-        out["obj_datatype"].append(t.obj_datatype)
-        out["obj_lang"].append(t.obj_lang)
-        out["graph"].append(t.graph)
-        out["src_format"].append(fmt)
-        out["error_line"].append(None)
-        out["error_message"].append(None)
-    for e in errors:
-        out["conv_id"].append(conv_id)
-        out["rec"].append("e")
-        for c in (
-            "subj",
-            "pred",
-            "obj_lex",
-            "obj_datatype",
-            "obj_lang",
-            "graph",
-        ):
-            out[c].append(None)
-        out["obj_kind"].append(None)
-        out["src_format"].append(fmt)
-        out["error_line"].append(e.get("line", 0))
-        out["error_message"].append(e.get("message"))
-
-
 def parse_documents(docs: DataFrame, base_uri_col: Optional[str] = None) -> DataFrame:
     """(conv_id, doc_text, tool[, base_uri]) -> triples/errors rows."""
     has_base = base_uri_col is not None and base_uri_col in docs.columns
@@ -164,22 +128,79 @@ def parse_documents(docs: DataFrame, base_uri_col: Optional[str] = None) -> Data
     src = docs.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        keys = (
-            "conv_id rec subj pred obj_kind obj_lex obj_datatype obj_lang "
-            "graph src_format error_line error_message"
-        ).split()
         for pdf in batches:
-            out = {k: [] for k in keys}
-            bases = pdf[base_uri_col] if has_base else None
-            for i in range(len(pdf)):
-                _rows_for_doc(
-                    pdf["conv_id"].iat[i],
-                    pdf["doc_text"].iat[i],
-                    pdf["tool"].iat[i],
-                    bases.iat[i] if bases is not None else None,
-                    out,
+            # accumulate Triple rows for the whole batch, then transpose
+            # once with zip(*...) — C-level, instead of 12 list.appends
+            # per triple
+            triples: list = []
+            t_conv: list = []
+            t_fmt: list = []
+            e_conv: list = []
+            e_fmt: list = []
+            e_line: list = []
+            e_msg: list = []
+            conv_a = pdf["conv_id"].tolist()
+            text_a = pdf["doc_text"].tolist()
+            tool_a = pdf["tool"].tolist()
+            base_a = pdf[base_uri_col].tolist() if has_base else None
+            for i, (conv, text, fmt) in enumerate(
+                zip(conv_a, text_a, tool_a)
+            ):
+                base = base_a[i] if base_a is not None else None
+                try:
+                    tl, errors = parse_one(text, fmt, base)
+                except Exception as e:  # one bad doc must not kill a batch
+                    tl, errors = [], [
+                        {"line": 0, "message": "internal: %r" % e}
+                    ]
+                if tl:
+                    triples.extend(tl)
+                    t_conv.extend([conv] * len(tl))
+                    t_fmt.extend([fmt] * len(tl))
+                for er in errors:
+                    e_conv.append(conv)
+                    e_fmt.append(fmt)
+                    e_line.append(er.get("line", 0))
+                    e_msg.append(er.get("message"))
+            if triples:
+                subj, pred, ok, ol, od, og, g = zip(*triples)
+                n = len(triples)
+                none = [None] * n
+                yield pd.DataFrame(
+                    {
+                        "conv_id": t_conv,
+                        "rec": ["t"] * n,
+                        "subj": subj,
+                        "pred": pred,
+                        "obj_kind": ok,
+                        "obj_lex": ol,
+                        "obj_datatype": od,
+                        "obj_lang": og,
+                        "graph": g,
+                        "src_format": t_fmt,
+                        "error_line": none,
+                        "error_message": none,
+                    }
                 )
-            yield pd.DataFrame(out)
+            if e_conv:
+                m = len(e_conv)
+                none = [None] * m
+                yield pd.DataFrame(
+                    {
+                        "conv_id": e_conv,
+                        "rec": ["e"] * m,
+                        "subj": none,
+                        "pred": none,
+                        "obj_kind": none,
+                        "obj_lex": none,
+                        "obj_datatype": none,
+                        "obj_lang": none,
+                        "graph": none,
+                        "src_format": e_fmt,
+                        "error_line": e_line,
+                        "error_message": e_msg,
+                    }
+                )
 
     return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
 
