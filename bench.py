@@ -104,9 +104,18 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
             if name in headline:
                 call(name, sf_dir).count()
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "1")))
+    # min-of-N per query (default 2): the shared host's neighbor load
+    # drifts by minutes (see memory: bench-host-noise), so a single shot
+    # can be 2-5x inflated; the min of two runs is a far better
+    # steady-state estimate and the loadavg_* fields below record how
+    # contended the window actually was
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
     timings = {}
     extra = {}
+    try:
+        extra["loadavg_start"] = float(open("/proc/loadavg").read().split()[0])
+    except OSError:
+        pass
     for name in headline:
         best = None
         for _ in range(repeats):
@@ -118,6 +127,11 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         timings[name] = round(best, 3)
         extra[name + "_rows"] = n
 
+    try:
+        extra["loadavg_end"] = float(open("/proc/loadavg").read().split()[0])
+        extra["bench_repeats"] = repeats
+    except OSError:
+        pass
     total = round(sum(timings.values()), 3)
     if extra.get("kg_pipeline_rows") and timings.get("kg_pipeline"):
         extra["kg_triples_per_sec"] = int(
