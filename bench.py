@@ -99,10 +99,12 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     # one untimed full-scale pass for the flagship pipelines: heap
     # growth, JIT and codegen for the at-scale plan all land outside the
     # timed window, so the reported numbers are steady-state throughput
+    # (the flagship only: with min-of-2 timing below, every query's
+    # second run is already steady-state; a full-scale pre-pass for the
+    # whole set would double the wall clock again)
     if os.environ.get("SPARK_GRAFT_FULL_WARMUP", "1") == "1":
-        for name in ("kg_pipeline_iceberg", "kg_pipeline"):
-            if name in headline:
-                call(name, sf_dir).count()
+        if "kg_pipeline_iceberg" in headline:
+            call("kg_pipeline_iceberg", sf_dir).count()
 
     # min-of-N per query (default 2): the shared host's neighbor load
     # drifts by minutes (see memory: bench-host-noise), so a single shot

@@ -51,7 +51,7 @@ RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 # bump when the synthesis logic changes: versions the materialized
 # /tmp table path so stale caches can never be read
-GEN_VERSION = 2
+GEN_VERSION = 3
 
 
 def _format_col(orderkey):
@@ -191,6 +191,11 @@ def tpch_transcripts(
             bn_term, "qty", _json_term("literal", F.col("qty"), XSD_INT)
         ),
     )
+    # one collect_list + one array_sort for all five syntax renderings
+    # (five separate collect_list(struct(ln, X)) aggs would keep five
+    # copies of the group in the aggregation buffers and sort five
+    # times); ties on ln break deterministically on the line arrays,
+    # which only affects in-document order, never the triple set
     li_grouped = (
         li.select(
             "k",
@@ -203,12 +208,16 @@ def tpch_transcripts(
         )
         .groupBy("k")
         .agg(
+            F.expr(
+                "array_sort(collect_list(struct(ln, nt_lines, ttl_lines,"
+                " xml_item_lines, xml_node_lines, json_lines)))"
+            ).alias("_sorted")
+        )
+        .select(
+            "k",
             *[
                 F.flatten(
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(ln, %s))),"
-                        " s -> s.%s)" % (c, c)
-                    )
+                    F.expr("transform(_sorted, s -> s.%s)" % c)
                 ).alias(a)
                 for c, a in [
                     ("nt_lines", "li_nt"),
@@ -217,7 +226,7 @@ def tpch_transcripts(
                     ("xml_node_lines", "li_xml_node"),
                     ("json_lines", "li_json"),
                 ]
-            ]
+            ],
         )
     )
 
