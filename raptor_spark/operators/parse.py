@@ -121,8 +121,19 @@ def guess_format(text: str) -> str:
     return "turtle"
 
 
-def parse_documents(docs: DataFrame, base_uri_col: Optional[str] = None) -> DataFrame:
-    """(conv_id, doc_text, tool[, base_uri]) -> triples/errors rows."""
+def parse_documents(
+    docs: DataFrame,
+    base_uri_col: Optional[str] = None,
+    dedup_per_doc: bool = False,
+) -> DataFrame:
+    """(conv_id, doc_text, tool[, base_uri]) -> triples/errors rows.
+
+    ``dedup_per_doc=True`` suppresses duplicate statements within each
+    document in Python (insertion-ordered, first occurrence wins) — the
+    reference's per-document duplicate check
+    (src/raptor_abbrev.c:354-397) done where the whole document is
+    already in hand, so graph materialization needs no dedup shuffle at
+    all."""
     has_base = base_uri_col is not None and base_uri_col in docs.columns
     cols = ["conv_id", "doc_text", "tool"] + ([base_uri_col] if has_base else [])
     src = docs.select(*cols)
@@ -153,6 +164,8 @@ def parse_documents(docs: DataFrame, base_uri_col: Optional[str] = None) -> Data
                     tl, errors = [], [
                         {"line": 0, "message": "internal: %r" % e}
                     ]
+                if dedup_per_doc and tl:
+                    tl = list(dict.fromkeys(tl))
                 if tl:
                     triples.extend(tl)
                     t_conv.extend([conv] * len(tl))

@@ -3,11 +3,13 @@
 transcripts --reassemble--> documents --parse UDF--> triples+errors
           --canonicalize/relabel--> --salted dedup--> graph tables.
 
-The three shuffles (conv_id reassembly, dedup aggregation, optional
-bucketed write) are the only exchanges; everything between runs in
-whole-stage codegen or one Arrow-batched Python stage. AQE is expected on
-(skew-join/coalesce); hub-key skew in dedup can additionally be forced
-two-phase via ``salt_buckets``.
+Exchanges: conv_id reassembly, plus the optional bucketed write — two in
+the default materialization path. Statement dedup is per-document inside
+the parse stage (the reference's own semantic), so it costs no shuffle;
+``global_dedup``/``salt_buckets`` add an explicit aggregation pass when
+cross-conversation uniqueness or forced two-phase skew handling is
+wanted. Everything between exchanges runs in whole-stage codegen or one
+Arrow-batched Python stage. AQE is expected on (skew-join/coalesce).
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ def build_graph(
     transcripts: DataFrame,
     base_uri_col: Optional[str] = None,
     relabel: bool = True,
-    global_dedup: bool = True,
+    global_dedup: bool = False,
     salt_buckets: int = 0,
     dedup: bool = True,
 ) -> Tuple[DataFrame, DataFrame]:
@@ -35,17 +37,41 @@ def build_graph(
 
     ``dedup=False`` keeps the raw statement stream (the reference's
     streaming parsers emit duplicates as-is; only the buffered abbrev
-    serializers dedup) — used when comparing against rapper output."""
+    serializers dedup) — used when comparing against rapper output.
+
+    Statement dedup runs conversation-scoped BEFORE relabeling: the
+    parse output is still hash-partitioned by conv_id from the
+    reassembly exchange, and a dedup key containing conv_id is
+    satisfied by that partitioning — so the dedup aggregation needs NO
+    new shuffle. This is also the reference's semantic (duplicate
+    suppression is per parsed document, src/raptor_abbrev.c:354-397);
+    after relabeling, bnode triples are globally unique by construction
+    (labels embed conv_id). ``global_dedup=True`` adds a whole-graph
+    pass after relabeling — a full shuffle on the term columns — for
+    callers that need cross-conversation uniqueness of URI-only rows.
+    """
     extra = ("tool",) + ((base_uri_col,) if base_uri_col else ())
     docs = reassemble(transcripts, extra_cols=extra)
-    parsed = parse_documents(docs, base_uri_col=base_uri_col)
+    # per-document dedup happens inside the parse stage (the whole
+    # document is in hand there; mapInPandas reports UnknownPartitioning
+    # downstream, so a dropDuplicates here would re-shuffle every triple
+    # even though the stream is already conv_id-clustered)
+    parsed = parse_documents(
+        docs, base_uri_col=base_uri_col,
+        dedup_per_doc=dedup and salt_buckets == 0,
+    )
     triples = triples_of(parsed)
     errors = errors_of(parsed)
+    if dedup and salt_buckets > 0:
+        # explicit salted two-phase aggregation (skew-forced path)
+        triples = dedup_statements(
+            triples, global_dedup=False, salt_buckets=salt_buckets
+        )
     if relabel:
         triples = relabel_bnodes(triples)
-    if dedup:
+    if dedup and global_dedup:
         triples = dedup_statements(
-            triples, global_dedup=global_dedup, salt_buckets=salt_buckets
+            triples, global_dedup=True, salt_buckets=salt_buckets
         )
     return triples, errors
 

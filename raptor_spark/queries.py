@@ -846,6 +846,12 @@ def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raptor_spark.sources.transcripts import tpch_transcripts
 
     triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    # nt_lines_df splits into a codegen fast branch and a kernel
+    # fallback branch; fed from a materialized table those are two
+    # cheap pushdown scans, but fed from an in-job pipeline the parse
+    # lineage would run once per branch — cache the triples across the
+    # two branches
+    triples = triples.persist()
     return nt_lines_df(triples, with_graph=True, extra_cols=("conv_id",))
 
 
