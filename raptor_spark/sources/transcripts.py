@@ -337,29 +337,31 @@ def tpch_transcripts(
         lines.alias("lines"),
     )
 
-    # chunk lines into turns: chunk size 1..5 keyed on the order key
+    # chunk lines into turns: chunk size 1..5 keyed on the order key.
+    # The turn texts are sliced straight out of the per-document line
+    # array (transform over a sequence of turn indexes) — a
+    # posexplode-then-regroup would shuffle every line row only to
+    # reassemble groups that already sit adjacent in one array.
     chunk = (F.pmod(F.col("orderkey"), F.lit(5)) + F.lit(1)).alias("chunk")
     docs = docs.withColumn("chunk", chunk)
-    exploded = docs.select(
+    n_turns = F.ceil(F.size("lines") / F.col("chunk")).cast("int")
+    turn_texts = F.transform(
+        F.sequence(F.lit(0), n_turns - F.lit(1)),
+        lambda i: F.concat(
+            F.array_join(
+                F.slice(
+                    F.col("lines"), i * F.col("chunk") + 1, F.col("chunk")
+                ),
+                "\n",
+            ),
+            F.lit("\n"),
+        ),
+    )
+    turns = docs.select(
         "conv_id",
-        "orderkey",
         "tool",
         "base_ts",
-        "chunk",
-        F.posexplode("lines").alias("pos", "line"),
-    )
-    turns = (
-        exploded.withColumn("turn_idx", (F.col("pos") / F.col("chunk")).cast("int"))
-        .groupBy("conv_id", "orderkey", "tool", "base_ts", "turn_idx")
-        .agg(
-            F.concat(
-                F.array_join(
-                    F.expr("transform(array_sort(collect_list(struct(pos, line))), s -> s.line)"),
-                    "\n",
-                ),
-                F.lit("\n"),
-            ).alias("text")
-        )
+        F.posexplode(turn_texts).alias("turn_idx", "text"),
     )
     roles = F.element_at(
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
