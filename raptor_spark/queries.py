@@ -116,6 +116,58 @@ def q_kg_pipeline_iceberg(
     )
 
 
+_KG_STREAM_ORACLE = (
+    _KG_ORACLE.replace("FROM orders", "FROM orders WHERE o_orderkey <= 400")
+    .replace("FROM lineitem", "FROM lineitem WHERE l_orderkey <= 400")
+)
+
+
+def q_kg_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming KG construction is value-equivalent to the
+    batch pipeline: materialize the transcripts for orders <= 400 plus
+    one far-future 'advancer' conversation, drain
+    streaming.incremental.stream_incremental_kg once (the advancer
+    pushes the event-time watermark past every real conversation's gap,
+    so the final no-data micro-batch fires all their timers; the
+    advancer itself stays buffered and is excluded), relabel bnodes
+    like the batch path, and return the streamed triples. The oracle is
+    the batch KG reconstruction restricted to the same orders."""
+    import tempfile
+
+    from raptor_spark.operators.canonical import relabel_bnodes
+    from raptor_spark.sources.transcripts import tpch_transcripts
+    from raptor_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_incremental_kg,
+    )
+
+    cap = 400
+    base = tempfile.mkdtemp(prefix="rsp_stream_q_")
+    inp = f"{base}/in"
+    out = f"{base}/out"
+    tpch_transcripts(spark, sf_dir, max_orders=cap).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    adv = spark.createDataFrame(
+        [(
+            "zz-advancer", 0, "user",
+            "<http://ex.org/zz> <http://ex.org/p> <http://ex.org/o> .\n",
+            "ntriples",
+            __import__("datetime").datetime(2100, 1, 1),
+        )],
+        TRANSCRIPT_SCHEMA,
+    )
+    adv.write.mode("append").parquet(inp)
+    stream_incremental_kg(
+        spark, inp, out, gap_seconds=3600, max_files_per_trigger=64
+    )
+    streamed = spark.read.parquet(f"{out}/triples")
+    return relabel_bnodes(streamed).select(
+        "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
+        "graph",
+    )
+
+
 def q_kg_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error side-channel: count of parse errors (must be zero rows)."""
     from raptor_spark.pipeline import build_graph
@@ -1908,6 +1960,7 @@ FROM (SELECT query_id, neighbor_id,
 QUERIES = {
     "kg_pipeline": q_kg_pipeline,
     "kg_pipeline_iceberg": q_kg_pipeline_iceberg,
+    "kg_stream_incremental": q_kg_stream_incremental,
     "kg_parse_errors": q_kg_parse_errors,
     "reassemble_sessions": q_reassemble_sessions,
     "ordinal_members": q_ordinal_members,
@@ -1954,6 +2007,7 @@ QUERIES = {
 ORACLES = {
     "kg_pipeline": _KG_ORACLE,
     "kg_pipeline_iceberg": _KG_ORACLE,
+    "kg_stream_incremental": _KG_STREAM_ORACLE,
     "kg_parse_errors": _KG_ERRORS_ORACLE,
     "reassemble_sessions": _REASSEMBLE_ORACLE,
     "ordinal_members": _ORDINAL_ORACLE,
