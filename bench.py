@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_simhash",
+    "rdfa_extract",
     "embedding_topk",
     "ann_topk",
     "serialize_grouped",

@@ -1615,42 +1615,150 @@ FROM t
 """
 
 
+#: closed-class stopword profiles for the heuristic language scorer.
+#: Non-overlapping left-to-right counting of " word " in space-padded
+#: lowercased text — identical semantics in Spark split() and DuckDB
+#: string_split(), so the oracle matches bit-for-bit. Shared words
+#: (es/fr "la") just contribute to both scores; strict argmax decides.
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to"],
+    "es": ["el", "la", "los", "que"],
+    "fr": ["le", "les", "des", "une"],
+    "de": ["der", "die", "und", "nicht"],
+}
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID over text (n-gram/stopword scoring shape);
-    the synthetic corpus is English-vocab so the interesting part is the
-    scoring plumbing, checked bit-for-bit vs the oracle."""
+    """Heuristic language-ID: per-language stopword-profile hit counts
+    (4 languages) with a strict-argmax decision — any tie for the top
+    score, including the all-zero case, yields 'und'. Pure column
+    expressions over the documents table; the synthetic corpus is
+    English-vocab so the interesting part is the scoring plumbing,
+    checked bit-for-bit vs the oracle."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    text = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    en = (
-        F.size(F.split(text, " the ")) + F.size(F.split(text, " and ")) - 2
+    text = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    hits = {
+        lang: sum(
+            (F.size(F.split(text, f" {w} ", -1)) - 1) for w in words
+        )
+        for lang, words in _LANG_PROFILES.items()
+    }
+    langs = list(_LANG_PROFILES)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    n_best = sum(
+        (hits[lang] == best).cast("int") for lang in langs
     )
-    es = F.size(F.split(text, " el ")) + F.size(F.split(text, " la ")) - 2
+    pred = F.lit("und")
+    for lang in langs:
+        pred = F.when(
+            (best > 0) & (n_best == 1) & (hits[lang] == best), F.lit(lang)
+        ).otherwise(pred)
     return docs.select(
         "doc_id",
-        en.cast("long").alias("en_hits"),
-        es.cast("long").alias("es_hits"),
-        F.when(en > es, F.lit("en"))
-        .when(es > en, F.lit("es"))
-        .otherwise(F.lit("und"))
-        .alias("lang_pred"),
+        *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in langs],
+        pred.alias("lang_pred"),
     )
 
 
 _LANGID_ORACLE = """
 WITH t AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+),
+h AS (
   SELECT doc_id,
-         len(string_split(' ' || text || ' ', ' the '))
-           + len(string_split(' ' || text || ' ', ' and ')) - 2 AS en_hits,
-         len(string_split(' ' || text || ' ', ' el '))
-           + len(string_split(' ' || text || ' ', ' la ')) - 2 AS es_hits
-  FROM documents
+         len(string_split(p, ' the ')) + len(string_split(p, ' and '))
+           + len(string_split(p, ' of ')) + len(string_split(p, ' to '))
+           - 4 AS en_hits,
+         len(string_split(p, ' el ')) + len(string_split(p, ' la '))
+           + len(string_split(p, ' los ')) + len(string_split(p, ' que '))
+           - 4 AS es_hits,
+         len(string_split(p, ' le ')) + len(string_split(p, ' les '))
+           + len(string_split(p, ' des ')) + len(string_split(p, ' une '))
+           - 4 AS fr_hits,
+         len(string_split(p, ' der ')) + len(string_split(p, ' die '))
+           + len(string_split(p, ' und ')) + len(string_split(p, ' nicht '))
+           - 4 AS de_hits
+  FROM t
+),
+s AS (
+  SELECT *, greatest(en_hits, es_hits, fr_hits, de_hits) AS best,
+         CAST(en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) AS INT)
+           + CAST(es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) AS INT)
+           + CAST(fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) AS INT)
+           + CAST(de_hits = greatest(en_hits, es_hits, fr_hits, de_hits) AS INT)
+           AS n_best
+  FROM h
 )
-SELECT doc_id, CAST(en_hits AS BIGINT) AS en_hits,
+SELECT doc_id,
+       CAST(en_hits AS BIGINT) AS en_hits,
        CAST(es_hits AS BIGINT) AS es_hits,
-       CASE WHEN en_hits > es_hits THEN 'en'
-            WHEN es_hits > en_hits THEN 'es'
-            ELSE 'und' END AS lang_pred
-FROM t
+       CAST(fr_hits AS BIGINT) AS fr_hits,
+       CAST(de_hits AS BIGINT) AS de_hits,
+       CASE WHEN best = 0 OR n_best > 1 THEN 'und'
+            WHEN en_hits = best THEN 'en'
+            WHEN es_hits = best THEN 'es'
+            WHEN fr_hits = best THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+# GPT-2-style BPE pre-tokenizer, restricted to RE2-safe constructs so the
+# exact same pattern (no lookahead) runs in both Spark (java.util.regex)
+# and the DuckDB oracle (RE2): contractions, space-attached letter runs,
+# space-attached digit runs, space-attached punctuation runs, then
+# leftover whitespace runs (filtered out of the token count).
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: segment text with the GPT-2 pre-tokenizer
+    regex (letter/digit/punct runs with leading-space attachment plus
+    English contraction suffixes) and count tokens per class.  Pure
+    column expressions — the whole stage stays in whole-stage codegen;
+    chars_per_tok_x100 is the usual 'fertility' proxy for how many
+    real BPE merges a tokenizer would spend on the document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    nonws = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+    n = F.size(nonws)
+    n_word = F.size(F.filter(nonws, lambda t: t.rlike(r"^ ?[A-Za-z]+$")))
+    n_num = F.size(F.filter(nonws, lambda t: t.rlike(r"^ ?[0-9]+$")))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_bpe_tokens"),
+        n_word.cast("long").alias("n_word_tokens"),
+        n_num.cast("long").alias("n_num_tokens"),
+        (n - n_word - n_num).cast("long").alias("n_other_tokens"),
+        F.floor(F.length(F.col("text")) * 100 / F.greatest(n, F.lit(1)))
+        .cast("long")
+        .alias("chars_per_tok_x100"),
+    )
+
+
+_TEXT_TOKENS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(
+           regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+           t -> NOT regexp_matches(t, '^\\s+$')) AS ts
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_chars, len(ts) AS n,
+         len(list_filter(ts, t -> regexp_matches(t, '^ ?[A-Za-z]+$'))) AS nw,
+         len(list_filter(ts, t -> regexp_matches(t, '^ ?[0-9]+$'))) AS nn
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_bpe_tokens,
+       CAST(nw AS BIGINT) AS n_word_tokens,
+       CAST(nn AS BIGINT) AS n_num_tokens,
+       CAST(n - nw - nn AS BIGINT) AS n_other_tokens,
+       CAST(floor(n_chars * 100.0 / greatest(n, 1)) AS BIGINT)
+           AS chars_per_tok_x100
+FROM c
 """
 
 
@@ -1995,6 +2103,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "text_tokens": q_text_tokens,
     "doc_fingerprint": q_doc_fingerprint,
     "media_decode": q_media_decode,
     "media_features": q_media_features,
@@ -2042,6 +2151,7 @@ ORACLES = {
     "embedding_neardup": _EMB_NEARDUP_ORACLE,
     "text_quality": _QUALITY_ORACLE,
     "text_langid": _LANGID_ORACLE,
+    "text_tokens": _TEXT_TOKENS_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_decode": _MEDIA_DECODE_ORACLE,
     "media_features": _MEDIA_FEATURES_ORACLE,
