@@ -82,10 +82,23 @@ def run_resumable(
     out_dir: str,
     n_buckets: int = 64,
     base_uri_col: Optional[str] = None,
+    entities: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Resumable materialization: skip buckets already in the manifest,
     build the graph for the rest, write bucket-partitioned parquet +
-    lineage counters. Returns the manifest of this run."""
+    the north-rule lineage counters (convs, turns parsed, triples
+    emitted, parse errors, link decisions). When an ``entities``
+    dictionary (key, entity_uri) is given, the linking stage runs over
+    the same unfinished buckets and its decisions are materialized under
+    ``links/bucket=``. Returns the manifest of this run."""
     todo = ckpt.filter_unfinished(spark, transcripts, out_dir, n_buckets)
-    triples, errors = build_graph(todo.drop("bucket"), base_uri_col=base_uri_col)
-    return ckpt.write_bucketed(triples, errors, out_dir, n_buckets)
+    turns = todo.drop("bucket")
+    triples, errors = build_graph(turns, base_uri_col=base_uri_col)
+    links = None
+    if entities is not None:
+        from raptor_spark.operators.link import link_entities
+
+        links = link_entities(turns, entities)
+    return ckpt.write_bucketed(
+        triples, errors, out_dir, n_buckets, turns=turns, links=links
+    )

@@ -52,10 +52,17 @@ def write_bucketed(
     errors: DataFrame,
     out_dir: str,
     n_buckets: int,
+    turns: Optional[DataFrame] = None,
+    links: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Write triples/errors partitioned by bucket + append manifest rows.
+    """Write triples/errors (and links, when given) partitioned by bucket
+    + append manifest rows.
 
-    Returns the manifest DataFrame (lineage counters per bucket).
+    Returns the manifest DataFrame — the north-rule lineage counters per
+    bucket: conversations, turns parsed, triples emitted, parse errors,
+    link decisions.  ``turns`` is the transcript turn table (counted per
+    bucket); ``links`` is the (conv_id, entity_uri, mentions) linking
+    output, materialized under ``links/bucket=`` alongside the triples.
     """
     t = with_bucket(triples, n_buckets)
     e = with_bucket(errors, n_buckets)
@@ -70,10 +77,29 @@ def write_bucketed(
         F.count(F.lit(1)).alias("triples"),
     )
     man_e = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("errors"))
-    manifest = (
-        man_t.join(man_e, "bucket", "full")
-        .na.fill(0, ["convs", "triples", "errors"])
-        .withColumn("ts", F.current_timestamp())
-    )
+    manifest = man_t.join(man_e, "bucket", "full")
+    if turns is not None:
+        man_u = with_bucket(turns.select("conv_id"), n_buckets).groupBy(
+            "bucket"
+        ).agg(F.count(F.lit(1)).alias("turns"))
+        manifest = manifest.join(man_u, "bucket", "full")
+    else:
+        manifest = manifest.withColumn("turns", F.lit(None).cast("long"))
+    if links is not None:
+        lk = with_bucket(links, n_buckets)
+        lk.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(out_dir, "links")
+        )
+        man_l = lk.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("link_decisions")
+        )
+        manifest = manifest.join(man_l, "bucket", "full")
+    else:
+        manifest = manifest.withColumn(
+            "link_decisions", F.lit(None).cast("long")
+        )
+    manifest = manifest.na.fill(
+        0, ["convs", "turns", "triples", "errors", "link_decisions"]
+    ).withColumn("ts", F.current_timestamp())
     manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
     return manifest

@@ -804,35 +804,14 @@ def q_kg_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention detection (vectorized regex over turn text, no Python),
     candidate generation via broadcast join against the entity
     dictionary (customers with minted URIs), scoring by mention count,
-    best-candidate-per-conversation by deterministic rank."""
+    best-candidate-per-conversation by deterministic rank. Delegates to
+    operators/link.py — the same stage run_resumable wires into the
+    bucketed job's link_decisions lineage counter."""
+    from raptor_spark.operators.link import customer_entities, link_entities
     from raptor_spark.sources.transcripts import tpch_transcripts
 
-    tr = tpch_transcripts(spark, sf_dir)
-    mentions = tr.select(
-        "conv_id",
-        F.explode(
-            F.regexp_extract_all(
-                F.col("text"), F.lit(r"http://ex\.org/customer/(\d+)"), F.lit(1)
-            )
-        ).alias("custkey"),
-    )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        F.col("c_custkey").cast("string").alias("custkey"),
-        F.concat(
-            F.lit("http://ex.org/entity/"),
-            F.md5(F.concat(F.lit("cust|"), F.col("c_name"))),
-        ).alias("entity_uri"),
-    )
-    cand = mentions.join(F.broadcast(cust), "custkey").groupBy(
-        "conv_id", "entity_uri"
-    ).agg(F.count(F.lit(1)).cast("long").alias("mentions"))
-    w = Window.partitionBy("conv_id").orderBy(
-        F.desc("mentions"), F.asc("entity_uri")
-    )
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("conv_id", "entity_uri", "mentions")
+    return link_entities(
+        tpch_transcripts(spark, sf_dir), customer_entities(spark, sf_dir)
     )
 
 

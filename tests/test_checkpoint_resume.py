@@ -53,6 +53,32 @@ def test_resume_skips_finished_buckets(spark, transcripts, tmp_path_factory):
     assert {r.bucket for r in rows1} == expect_buckets
 
 
+def test_lineage_counters_turns_and_links(spark, transcripts, tmp_path_factory):
+    from raptor_spark.operators.link import customer_entities
+    from raptor_spark.pipeline import run_resumable
+
+    out = str(tmp_path_factory.mktemp("kg_lineage"))
+    ents = customer_entities(spark, "/root/testdata/sf0.001")
+    m = run_resumable(spark, transcripts, out, n_buckets=8, entities=ents)
+    rows = m.collect()
+    assert rows
+    # turns parsed = the input turn count, distributed over the buckets
+    assert sum(r.turns for r in rows) == transcripts.count()
+    assert all(r.turns > 0 for r in rows)
+    # link decisions: one best entity per conversation with a mention —
+    # every synthesized order doc mentions its customer URI, so every
+    # conversation links, and the materialized links match the counter
+    n_links = sum(r.link_decisions for r in rows)
+    assert n_links == transcripts.select("conv_id").distinct().count()
+    written = spark.read.parquet(f"{out}/links")
+    assert written.count() == n_links
+    per_bucket = {
+        r.bucket: r.cnt
+        for r in written.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {r.bucket: r.link_decisions for r in rows} == per_bucket
+
+
 def test_resume_processes_only_missing_buckets(spark, transcripts, tmp_path_factory):
     from raptor_spark.pipeline import run_resumable
     from raptor_spark.plans import checkpoint as ckpt

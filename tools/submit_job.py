@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--transcripts", help="or: read transcripts parquet from here")
     ap.add_argument("--out", required=True, help="output root (triples/errors/manifest)")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--link",
+        action="store_true",
+        help="run the entity-linking stage (customer dictionary from "
+        "--sf-dir) and record link decisions in the manifest",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,8 +54,17 @@ def main() -> None:
     else:
         raise SystemExit("one of --transcripts / --sf-dir is required")
 
+    entities = None
+    if args.link:
+        if not args.sf_dir:
+            raise SystemExit("--link needs --sf-dir for the entity dictionary")
+        from raptor_spark.operators.link import customer_entities
+
+        entities = customer_entities(spark, args.sf_dir)
+
     manifest = run_resumable(
-        spark, transcripts, args.out, n_buckets=args.buckets
+        spark, transcripts, args.out, n_buckets=args.buckets,
+        entities=entities,
     )
     rows = manifest.collect()
     print(
@@ -57,8 +72,10 @@ def main() -> None:
             {
                 "buckets_completed": len(rows),
                 "convs": sum(r.convs for r in rows),
+                "turns": sum(r.turns for r in rows),
                 "triples": sum(r.triples for r in rows),
                 "errors": sum(r.errors for r in rows),
+                "link_decisions": sum(r.link_decisions for r in rows),
                 "out": args.out,
             }
         )
