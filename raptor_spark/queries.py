@@ -1249,11 +1249,10 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """
 
 
-def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale-correct near-dup pipeline: MinHash-LSH banding generates
-    candidate pairs (no O(n^2) join), then exact n-gram Jaccard verifies
-    only those candidates. At 100 TB the verify stage touches a vanishing
-    fraction of the pair space while recall is bounded by the band count."""
+def _cascade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard_x1000): MinHash-LSH
+    candidates -> exact n-gram Jaccard >= 0.5. Shared by dedup_cascade
+    and dedup_clusters."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
@@ -1282,6 +1281,73 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-correct near-dup pipeline: MinHash-LSH banding generates
+    candidate pairs (no O(n^2) join), then exact n-gram Jaccard verifies
+    only those candidates. At 100 TB the verify stage touches a vanishing
+    fraction of the pair space while recall is bounded by the band count."""
+    return _cascade_pairs(spark, sf_dir)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components over the cascade's
+    verified pairs, turning pairwise matches into keep/drop decisions
+    (keep doc_id == cluster_rep). Iterative min-label propagation — each
+    round is one shuffle-join on the component graph, and rounds scale
+    with component diameter, which for near-dup graphs (near-cliques of
+    boilerplate variants) is 1-2; the loop is bounded and exits at the
+    first round with no label change. No collect of the graph: the
+    driver only sees the per-round change count."""
+    pairs = _cascade_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    edges = edges.cache()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .cache()
+    )
+    for _ in range(16):
+        nbr_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+            .withColumnRenamed("u", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    out = labels.join(sizes, "lbl").select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_rep"),
+        "cluster_size",
+    )
+    edges.unpersist()
+    return out
+
+
 _DEDUP_CASCADE_ORACLE = (
     "WITH "
     + _BANDS_SQL
@@ -1308,6 +1374,34 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 """
 )
+
+# connected components over the cascade pairs: the oracle computes the
+# transitive closure with a recursive CTE (UNION dedups, so it
+# terminates) and labels every member with the component's min doc_id —
+# exactly what the label-propagation fixpoint converges to.
+_DEDUP_CLUSTERS_ORACLE = (
+    """
+WITH RECURSIVE p AS (
+  SELECT doc_a, doc_b FROM (%s) cp
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lab AS (SELECT u AS doc_id, MIN(v) AS cluster_rep FROM reach GROUP BY u),
+sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_rep)
+SELECT doc_id, cluster_rep, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM lab JOIN sz USING (cluster_rep)
+"""
+    % _DEDUP_CASCADE_ORACLE
+)
+
 
 #: SimHash width and banding: 60 fingerprint bits (15 md5 hex chars —
 #: stays inside a signed 64-bit lane on both engines) split into 4 blocks
@@ -2078,6 +2172,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_cascade": q_dedup_cascade,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "embedding_neardup": q_embedding_neardup,
     "text_quality": q_text_quality,
@@ -2126,6 +2221,7 @@ ORACLES = {
     "dedup_minhash": _MINHASH_ORACLE,
     "dedup_jaccard": _JACCARD_ORACLE,
     "dedup_cascade": _DEDUP_CASCADE_ORACLE,
+    "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
     "dedup_simhash": _SIMHASH_ORACLE,
     "embedding_neardup": _EMB_NEARDUP_ORACLE,
     "text_quality": _QUALITY_ORACLE,
