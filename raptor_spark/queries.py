@@ -1689,9 +1689,9 @@ FROM t
 
 
 #: closed-class stopword profiles for the heuristic language scorer.
-#: Non-overlapping left-to-right counting of " word " in space-padded
-#: lowercased text — identical semantics in Spark split() and DuckDB
-#: string_split(), so the oracle matches bit-for-bit. Shared words
+#: Scoring = whitespace-token membership counts over lowercased text —
+#: identical semantics in Spark's higher-order filter() and DuckDB's
+#: list_filter(), so the oracle matches bit-for-bit. Shared words
 #: (es/fr "la") just contribute to both scores; strict argmax decides.
 _LANG_PROFILES = {
     "en": ["the", "and", "of", "to"],
@@ -1701,56 +1701,69 @@ _LANG_PROFILES = {
 }
 
 
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID: per-language stopword-profile hit counts
-    (4 languages) with a strict-argmax decision — any tie for the top
-    score, including the all-zero case, yields 'und'. Pure column
-    expressions over the documents table; the synthetic corpus is
-    English-vocab so the interesting part is the scoring plumbing,
-    checked bit-for-bit vs the oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    text = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    hits = {
-        lang: sum(
-            (F.size(F.split(text, f" {w} ", -1)) - 1) for w in words
-        )
+def _lang_hits(text_col):
+    """Per-language stopword token counts: whitespace-tokenize the
+    lowercased text once, count tokens belonging to each profile with a
+    higher-order filter. One compact loop per language in codegen —
+    the per-word substring-count formulation blew janino's 64 KB
+    method limit once the argmax below (and any pushed-down filter on
+    its result) re-inlined every count several times."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
         for lang, words in _LANG_PROFILES.items()
     }
+
+
+def _lang_pred(hits):
+    """Strict-argmax decision over _lang_hits: any tie for the top
+    score, including the all-zero case, yields 'und'."""
     langs = list(_LANG_PROFILES)
     best = F.greatest(*[hits[lang] for lang in langs])
-    n_best = sum(
-        (hits[lang] == best).cast("int") for lang in langs
-    )
+    n_best = sum((hits[lang] == best).cast("int") for lang in langs)
     pred = F.lit("und")
     for lang in langs:
         pred = F.when(
             (best > 0) & (n_best == 1) & (hits[lang] == best), F.lit(lang)
         ).otherwise(pred)
-    return docs.select(
+    return pred
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: per-language stopword-profile hit counts
+    (4 languages) with a strict-argmax decision. Pure column
+    expressions over the documents table; the synthetic corpus is
+    English-vocab so the interesting part is the scoring plumbing,
+    checked bit-for-bit vs the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hits = _lang_hits(F.col("text"))
+    # two projections on purpose: the argmax references each hit count
+    # several times, so computing hits into named columns first keeps
+    # the (expensive) counting expressions single-instance — Catalyst's
+    # CollapseProject preserves the split for exactly this reason
+    counted = docs.select(
         "doc_id",
-        *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in langs],
-        pred.alias("lang_pred"),
+        *[hits[lang].cast("long").alias(f"{lang}_hits") for lang in _LANG_PROFILES],
+    )
+    hcols = {lang: F.col(f"{lang}_hits") for lang in _LANG_PROFILES}
+    return counted.select(
+        "doc_id",
+        *[f"{lang}_hits" for lang in _LANG_PROFILES],
+        _lang_pred(hcols).alias("lang_pred"),
     )
 
 
 _LANGID_ORACLE = """
 WITH t AS (
-  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+  FROM documents
 ),
 h AS (
   SELECT doc_id,
-         len(string_split(p, ' the ')) + len(string_split(p, ' and '))
-           + len(string_split(p, ' of ')) + len(string_split(p, ' to '))
-           - 4 AS en_hits,
-         len(string_split(p, ' el ')) + len(string_split(p, ' la '))
-           + len(string_split(p, ' los ')) + len(string_split(p, ' que '))
-           - 4 AS es_hits,
-         len(string_split(p, ' le ')) + len(string_split(p, ' les '))
-           + len(string_split(p, ' des ')) + len(string_split(p, ' une '))
-           - 4 AS fr_hits,
-         len(string_split(p, ' der ')) + len(string_split(p, ' die '))
-           + len(string_split(p, ' und ')) + len(string_split(p, ' nicht '))
-           - 4 AS de_hits
+         len(list_filter(tk, x -> x IN ('the','and','of','to'))) AS en_hits,
+         len(list_filter(tk, x -> x IN ('el','la','los','que'))) AS es_hits,
+         len(list_filter(tk, x -> x IN ('le','les','des','une'))) AS fr_hits,
+         len(list_filter(tk, x -> x IN ('der','die','und','nicht'))) AS de_hits
   FROM t
 ),
 s AS (
@@ -1774,6 +1787,116 @@ SELECT doc_id,
             ELSE 'de' END AS lang_pred
 FROM s
 """
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the selection a training-data
+    pipeline actually materializes: quality gate (>= 10 tokens,
+    distinct-token ratio >= 0.4), language gate (stopword-profile
+    'en'), exact dedup (keep min doc_id per normalized-text md5),
+    near-dup drop (only cluster representatives survive
+    dedup_clusters), then a deterministic md5-keyed 18/1/1
+    train/val/test split. Every stage is a column expression or an
+    already-bucketed operator; the only driver-side work is the
+    label-propagation round counter inside dedup_clusters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hits = _lang_hits(F.col("text"))
+    # hits as named columns first, argmax second (see q_text_langid:
+    # fusing the re-referenced counts into one projection overflows
+    # janino's 64 KB codegen limit)
+    counted = docs.select(
+        "doc_id",
+        "text",
+        n.cast("long").alias("n_tokens"),
+        (nd * 1000 / n).alias("ratio"),
+        F.md5(norm).alias("fp"),
+        *[hits[lang].alias(f"_h_{lang}") for lang in _LANG_PROFILES],
+    )
+    hcols = {lang: F.col(f"_h_{lang}") for lang in _LANG_PROFILES}
+    scored = counted.select(
+        "doc_id",
+        "text",
+        "n_tokens",
+        "ratio",
+        "fp",
+        _lang_pred(hcols).alias("lang_pred"),
+    ).filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("ratio") >= 400)
+        & (F.col("lang_pred") == "en")
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    dropped = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    kept = exact.join(dropped, "doc_id", "left_anti")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("text")), 1, 4), 16, 10).cast("long"),
+        F.lit(20),
+    )
+    return kept.select(
+        "doc_id",
+        "n_tokens",
+        "lang_pred",
+        F.when(bucket < 18, F.lit("train"))
+        .when(bucket == 18, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+_CORPUS_CURATE_ORACLE = (
+    """
+WITH RECURSIVE clus AS (
+  SELECT * FROM ("""
+    + _DEDUP_CLUSTERS_ORACLE
+    + """) c
+),
+scored AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           * 1000.0
+           / len(regexp_split_to_array(trim(text), '\\s+')) AS ratio,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+langp AS ("""
+    + _LANGID_ORACLE
+    + """),
+gated AS (
+  SELECT s.doc_id, s.text, s.n_tokens, s.fp, l.lang_pred
+  FROM scored s JOIN langp l USING (doc_id)
+  WHERE s.n_tokens >= 10 AND s.ratio >= 400 AND l.lang_pred = 'en'
+),
+exact AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+  FROM gated
+),
+kept AS (
+  SELECT e.* FROM exact e
+  WHERE e.rk = 1
+    AND NOT EXISTS (SELECT 1 FROM clus c
+                    WHERE c.doc_id = e.doc_id
+                      AND c.doc_id <> c.cluster_rep)
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, lang_pred,
+       CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT *,
+             CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 20 AS b
+      FROM kept)
+"""
+)
 
 
 # GPT-2-style BPE pre-tokenizer, restricted to RE2-safe constructs so the
@@ -2178,6 +2301,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_tokens": q_text_tokens,
+    "corpus_curate": q_corpus_curate,
     "doc_fingerprint": q_doc_fingerprint,
     "media_decode": q_media_decode,
     "media_features": q_media_features,
@@ -2227,6 +2351,7 @@ ORACLES = {
     "text_quality": _QUALITY_ORACLE,
     "text_langid": _LANGID_ORACLE,
     "text_tokens": _TEXT_TOKENS_ORACLE,
+    "corpus_curate": _CORPUS_CURATE_ORACLE,
     "doc_fingerprint": _FINGERPRINT_ORACLE,
     "media_decode": _MEDIA_DECODE_ORACLE,
     "media_features": _MEDIA_FEATURES_ORACLE,
