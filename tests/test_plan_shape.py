@@ -77,6 +77,35 @@ def test_parse_dedup_per_doc(spark):  # noqa: F811
     assert (raw, kept) == (4, 2)
 
 
+@pytest.mark.parametrize(
+    "name", ["corpus_curate", "dedup_minhash", "dedup_simhash", "dedup_jaccard"]
+)
+def test_training_ops_stay_jvm_side(spark, name):  # noqa: F811
+    """The dedup/curation operators are pure column algebra: no Python
+    stages in the plan, and candidate generation is always a bucketed
+    equi-join — a refactor that introduces a cartesian/nested-loop pair
+    enumeration would pass value tests at sf0.001 and melt at corpus
+    scale."""
+    from raptor_spark.queries import QUERIES
+
+    plan = _formatted_plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_curate_scan_prunes_columns(spark):  # noqa: F811
+    """corpus_curate reads only (doc_id, text) from the documents table
+    (which also carries lang/source/n_chars)."""
+    from raptor_spark.queries import QUERIES
+
+    plan = _formatted_plan(QUERIES["corpus_curate"](spark, "/root/testdata/sf0.001"))
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines
+    for line in schema_lines:
+        assert "source" not in line and "n_chars" not in line, line
+
+
 def test_nt_sink_majority_stays_in_codegen(spark):  # noqa: F811
     """The N-Triples sink's fast branch renders with pure column
     expressions; the kernel fallback exists but ASCII-clean rows never
