@@ -190,6 +190,7 @@ def run_scaling(sf_dir: str) -> dict:
     to skew a round."""
     flag = "kg_pipeline_iceberg"
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_ROUNDS", "3")))
+    _scale_replicate = int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1"))
     # N and 4N cores, 2->8 by default: both sides stay deep inside the
     # host's linear-scaling envelope (a pure-Python probe of the parse
     # kernel shows per-core throughput collapsing ~1.5x as loaded-CPU
@@ -325,6 +326,7 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": r32["sf"],
         "extra": {
             "rows": rows,
+            "replicate": _scale_replicate,
             f"triples_per_sec_local{lo}": int(tput8),
             f"triples_per_sec_local{hi}": int(tput32),
             "round_efficiencies": [round(p[2], 3) for p in pairs],
@@ -355,8 +357,11 @@ def run_scaling(sf_dir: str) -> dict:
             history = [float(x) for x in m.group(1).split(",")]
     except (OSError, ValueError):
         pass
-    history.append(round(eff, 3))
-    best = max(history)
+    if _scale_replicate == 1:
+        # replicated-input sessions measure a different (larger) job —
+        # keep the cross-session history a single comparable series
+        history.append(round(eff, 3))
+    best = max(history) if history else round(eff, 3)
     with open(md_path, "w") as fh:
         fh.write(
             "# Scaling-efficiency evidence (north rule: N -> 4N >= 0.8)\n\n"
@@ -365,7 +370,13 @@ def run_scaling(sf_dir: str) -> dict:
             "parse -> canonicalize -> relabel -> dedup) on the same input\n"
             "table at\n"
             "two parallelism levels, differing only in --master.\n\n"
-            f"input: {sf_dir} (deterministic synthetic transcripts)\n\n"
+            f"input: {sf_dir} (deterministic synthetic transcripts"
+            + (
+                f", replicated x{_scale_replicate}"
+                if _scale_replicate > 1
+                else ""
+            )
+            + ")\n\n"
             "| master | wall s | triples/s |\n|---|---|---|\n"
             f"| local[{lo}] | {t8} | {int(tput8)} |\n"
             f"| local[{hi}] | {t32} | {int(tput32)} |\n\n"
