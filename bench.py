@@ -59,7 +59,12 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("raptor-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        # floor of 32: the sweet spot is input-size-driven (~32-64 at
+        # sf0.1), not core-proportional — measured min-of-N at pinned
+        # local[2]/local[8]/local[32]: 32 partitions beat cpus*2 by
+        # 15-20% at 2 and 8 cores (finer tasks give AQE room to balance)
+        # while 32 cores keeps its cpus*2=64 optimum
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 32)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
