@@ -22,6 +22,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# direct `python tools/submit_job.py` runs (no --py-files zip): the
+# package lives one level up from this script
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def main() -> None:
