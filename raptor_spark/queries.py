@@ -1079,25 +1079,42 @@ _LSH_BUCKET_CAP = 50
 
 def _minhash_bands(sh: DataFrame) -> DataFrame:
     """(doc_id, sh) -> (doc_id, band, mh): banded b x r minhash signatures
-    with the per-bucket size cap applied. One explode + one aggregation;
-    the window count is over the (band, mh) partitioning the pair join
-    reuses, so the cap adds no extra exchange."""
-    salt = lambda r: F.md5(
-        F.concat(
-            (F.col("band") * _LSH_ROWS + r).cast("string"), F.lit("|"), F.col("sh")
-        )
+    with the per-bucket size cap applied.
+
+    All b*r per-shingle hashes aggregate in ONE groupBy(doc_id) pass
+    (b*r min() columns with map-side combine); the band rows explode
+    from the already-aggregated one-row-per-doc frame. Exploding the
+    shingle rows b-fold BEFORE aggregating (the obvious formulation)
+    multiplies the shuffle input by b — at 8 bands that was the whole
+    cost of the operator. The window count is over the (band, mh)
+    partitioning the pair join reuses, so the cap adds no extra
+    exchange."""
+    nsig = _LSH_BANDS * _LSH_ROWS
+    salt = lambda i: F.md5(
+        F.concat(F.lit(str(i)), F.lit("|"), F.col("sh"))
     )
-    bands = (
-        sh.select(
-            "doc_id",
-            F.explode(F.array(*[F.lit(b) for b in range(_LSH_BANDS)])).alias("band"),
-            "sh",
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat(*[F.min(salt(r)) for r in range(_LSH_ROWS)]).alias("mh")
-        )
+    agg = sh.groupBy("doc_id").agg(
+        *[F.min(salt(i)).alias("m%d" % i) for i in range(nsig)]
     )
+    bands = agg.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[
+                                F.col("m%d" % (b * _LSH_ROWS + r))
+                                for r in range(_LSH_ROWS)
+                            ]
+                        ).alias("mh"),
+                    )
+                    for b in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("bm"),
+    ).select("doc_id", F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
     w = Window.partitionBy("band", "mh")
     return (
         bands.withColumn("bsz", F.count(F.lit(1)).over(w))
