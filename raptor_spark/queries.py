@@ -1075,13 +1075,32 @@ _LSH_ROWS = 2
 #: shuffle at corpus scale; such clusters are better handled by the exact
 #: dedup_exact path, so LSH drops them instead of emitting k^2 rows.
 _LSH_BUCKET_CAP = 50
+#: universal-hash minhash lanes: each shingle is hashed ONCE (md5 -> 60-bit
+#: prefix, reduced mod the Mersenne prime 2^31-1) and the b*r independent
+#: minhash functions are h_i(x) = (a_i*x + b_i) mod p — 16 integer ops per
+#: shingle instead of 16 md5 calls, and the per-doc signature through the
+#: groupBy is 16 longs (128 B) instead of 16 md5 hex strings (512 B). The
+#: 31-bit modulus keeps a_i*x inside a signed 64-bit lane on both engines
+#: (DuckDB raises on BIGINT overflow); the two lanes of a band pack into
+#: one 62-bit long, so the bucket join key is (int, long).
+_MH_P = 2147483647
+_MH_AB = [
+    (2054730081, 1668083862), (1381560984, 71539990),
+    (729512858, 133347923), (1473050824, 100270761),
+    (1099550647, 283212492), (1181694378, 419802908),
+    (1494373298, 318663385), (1945259633, 1367314271),
+    (1382880978, 1593008560), (293948171, 2141913301),
+    (1866669699, 352195579), (315686227, 1118610135),
+    (1934400445, 1216675730), (963302574, 1005947103),
+    (166792497, 2019800082), (1378874568, 613864793),
+]
 
 
 def _minhash_bands(sh: DataFrame) -> DataFrame:
     """(doc_id, sh) -> (doc_id, band, mh): banded b x r minhash signatures
     with the per-bucket size cap applied.
 
-    All b*r per-shingle hashes aggregate in ONE groupBy(doc_id) pass
+    All b*r per-shingle minhashes aggregate in ONE groupBy(doc_id) pass
     (b*r min() columns with map-side combine); the band rows explode
     from the already-aggregated one-row-per-doc frame. Exploding the
     shingle rows b-fold BEFORE aggregating (the obvious formulation)
@@ -1090,11 +1109,16 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     partitioning the pair join reuses, so the cap adds no extra
     exchange."""
     nsig = _LSH_BANDS * _LSH_ROWS
-    salt = lambda i: F.md5(
-        F.concat(F.lit(str(i)), F.lit("|"), F.col("sh"))
+    base = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+        % _MH_P
     )
-    agg = sh.groupBy("doc_id").agg(
-        *[F.min(salt(i)).alias("m%d" % i) for i in range(nsig)]
+    proj = sh.select("doc_id", base.alias("hb"))
+    lane = lambda i: (
+        F.lit(_MH_AB[i][0]) * F.col("hb") + F.lit(_MH_AB[i][1])
+    ) % _MH_P
+    agg = proj.groupBy("doc_id").agg(
+        *[F.min(lane(i)).alias("m%d" % i) for i in range(nsig)]
     )
     bands = agg.select(
         "doc_id",
@@ -1103,11 +1127,9 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
-                            *[
-                                F.col("m%d" % (b * _LSH_ROWS + r))
-                                for r in range(_LSH_ROWS)
-                            ]
+                        (
+                            F.shiftleft(F.col("m%d" % (b * _LSH_ROWS)), 31)
+                            + F.col("m%d" % (b * _LSH_ROWS + 1))
                         ).alias("mh"),
                     )
                     for b in range(_LSH_BANDS)
@@ -1140,10 +1162,12 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: word-3-gram shingles ->
-    8 bands x 2-row md5-minhash signatures -> bucket join on any matching
-    band, with oversized buckets capped (see _LSH_BUCKET_CAP). Scale path
-    for dedup: no O(n^2) pairs, the band join is the only shuffle, and the
-    cap bounds the worst bucket's fan-out at corpus scale."""
+    8 bands x 2-lane universal-hash minhash signatures (one md5 per
+    shingle, lanes packed into a 62-bit long — see _MH_AB) -> bucket join
+    on any matching band, with oversized buckets capped (see
+    _LSH_BUCKET_CAP). Scale path for dedup: no O(n^2) pairs, the band
+    join is the only shuffle, and the cap bounds the worst bucket's
+    fan-out at corpus scale."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
@@ -1152,8 +1176,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared CTE prefix: shingles -> capped b x r band signatures (kept in
-# lockstep with _minhash_bands: 8 bands x 2 rows, bucket cap 50)
-_BANDS_SQL = """
+# lockstep with _minhash_bands: 8 bands x 2 universal-hash lanes over one
+# md5-derived base value, lanes packed into one 62-bit BIGINT, cap 50)
+_BANDS_SQL = (
+    """
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
@@ -1162,21 +1188,43 @@ sh AS (
          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
   FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
 ),
+shb AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+           % """
+    + str(_MH_P)
+    + """ AS hb
+  FROM sh
+),
 bands0 AS (
-  SELECT doc_id, band,
-         MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || sh))
-           || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || sh)) AS mh
-  FROM sh, UNNEST(range(0, 8)) AS bb(band)
-  GROUP BY doc_id, band
+  SELECT doc_id,
+"""
+    + ",\n".join(
+        "         MIN((%d * hb + %d) %% %d) AS m%d"
+        % (_MH_AB[i][0], _MH_AB[i][1], _MH_P, i)
+        for i in range(_LSH_BANDS * _LSH_ROWS)
+    )
+    + """
+  FROM shb GROUP BY doc_id
+),
+bandsu AS (
+"""
+    + "\n  UNION ALL\n".join(
+        "  SELECT doc_id, %d AS band, (m%d << 31) + m%d AS mh FROM bands0"
+        % (b, b * _LSH_ROWS, b * _LSH_ROWS + 1)
+        for b in range(_LSH_BANDS)
+    )
+    + """
 ),
 bands AS (
   SELECT doc_id, band, mh
   FROM (SELECT doc_id, band, mh,
                COUNT(*) OVER (PARTITION BY band, mh) AS bsz
-        FROM bands0)
+        FROM bandsu)
   WHERE bsz <= 50
 )
 """
+)
 
 _MINHASH_ORACLE = (
     "WITH "
