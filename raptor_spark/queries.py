@@ -1354,42 +1354,84 @@ def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cascade_pairs(spark, sf_dir)
 
 
+#: round cap for the connected-components loop. With pointer doubling the
+#: round count is O(log2 diameter), so 24 rounds cover components of
+#: diameter ~2^24 — far beyond any real near-dup graph; hitting the cap
+#: while labels still change is therefore a hard signal, not a tail case.
+_CC_MAX_ROUNDS = 24
+
+#: diagnostics of the last q_dedup_clusters run (bench surfaces these):
+#: rounds executed and whether the labeling converged before the cap.
+CLUSTER_STATS = {"rounds": 0, "converged": False}
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clustering: connected components over the cascade's
     verified pairs, turning pairwise matches into keep/drop decisions
-    (keep doc_id == cluster_rep). Iterative min-label propagation — each
-    round is one shuffle-join on the component graph, and rounds scale
-    with component diameter, which for near-dup graphs (near-cliques of
-    boilerplate variants) is 1-2; the loop is bounded and exits at the
-    first round with no label change. No collect of the graph: the
-    driver only sees the per-round change count."""
+    (keep doc_id == cluster_rep).
+
+    Min-label propagation with pointer doubling: each round takes the min
+    of the neighbors' labels, then jumps to the label's own label
+    (lbl <- lbl(lbl)), which halves chain lengths — O(log diameter)
+    rounds even for path-shaped components (sliding boilerplate
+    variants), vs O(diameter) for plain propagation. Each round is
+    equi-joins on the component graph only; the driver sees nothing but
+    the per-round change count. Per-round ``localCheckpoint`` both
+    truncates the lineage (no 2^rounds plan growth) and materializes the
+    labels, so the RETURNED frame reads checkpointed blocks — downstream
+    actions never re-run the LSH cascade, and no caches are leaked.
+
+    Contract note: unlike the other queries() entries, CONSTRUCTING this
+    frame runs Spark jobs eagerly — iterative convergence needs per-round
+    actions; there is no lazy formulation of an until-fixpoint loop. If
+    the round cap is ever hit while labels still change (see
+    _CC_MAX_ROUNDS), the labeling would be incomplete, so it raises
+    instead of silently returning wrong cluster reps."""
     pairs = _cascade_pairs(spark, sf_dir)
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    edges = edges.cache()
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .cache()
+        .localCheckpoint()
     )
-    for _ in range(16):
+    converged = False
+    rounds = 0
+    for _ in range(_CC_MAX_ROUNDS):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy("u")
             .agg(F.min("lbl").alias("nlbl"))
             .withColumnRenamed("u", "node")
         )
+        prop = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # pointer doubling: lbl <- min(lbl, lbl(lbl)); label values are
+        # always node ids of the same component, so this never crosses
+        # components and the fixpoint (component-min labeling) is the same
+        hop = prop.select(
+            F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            prop.join(hop, prop["lbl"] == hop["pnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("plbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.withColumnRenamed("lbl", "new_lbl")
@@ -1397,20 +1439,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("new_lbl") != F.col("lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    CLUSTER_STATS["rounds"] = rounds
+    CLUSTER_STATS["converged"] = converged
+    if not converged:
+        raise RuntimeError(
+            "dedup_clusters: labels still changing after %d rounds — "
+            "component structure is pathological; raise _CC_MAX_ROUNDS"
+            % _CC_MAX_ROUNDS
+        )
     sizes = labels.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
-    out = labels.join(sizes, "lbl").select(
+    return labels.join(sizes, "lbl").select(
         F.col("node").alias("doc_id"),
         F.col("lbl").alias("cluster_rep"),
         "cluster_size",
     )
-    edges.unpersist()
-    return out
 
 
 _DEDUP_CASCADE_ORACLE = (
