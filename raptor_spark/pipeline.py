@@ -90,15 +90,43 @@ def run_resumable(
     emitted, parse errors, link decisions). When an ``entities``
     dictionary (key, entity_uri) is given, the linking stage runs over
     the same unfinished buckets and its decisions are materialized under
-    ``links/bucket=``. Returns the manifest of this run."""
+    ``links/bucket=``; buckets finished by a PRIOR run without linking
+    get a linking-only catch-up pass (ckpt.link_catchup), so a resume
+    that adds entities never leaves links/ silently incomplete. Returns
+    the manifest rows appended by this run.
+
+    The materialization fans into several write/aggregate jobs (triples,
+    errors, links, manifest counters); the parse stage's output is
+    persisted for the duration so the mapInPandas parse UDF runs once,
+    not once per job."""
+    from pyspark.storagelevel import StorageLevel
+
     todo = ckpt.filter_unfinished(spark, transcripts, out_dir, n_buckets)
-    turns = todo.drop("bucket")
-    triples, errors = build_graph(turns, base_uri_col=base_uri_col)
+    turns = todo.drop("bucket").persist(StorageLevel.MEMORY_AND_DISK)
+    extra = ("tool",) + ((base_uri_col,) if base_uri_col else ())
+    docs = reassemble(turns, extra_cols=extra)
+    parsed = parse_documents(
+        docs, base_uri_col=base_uri_col, dedup_per_doc=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    triples = relabel_bnodes(triples_of(parsed))
+    errors = errors_of(parsed)
     links = None
     if entities is not None:
         from raptor_spark.operators.link import link_entities
 
         links = link_entities(turns, entities)
-    return ckpt.write_bucketed(
+    manifest = ckpt.write_bucketed(
         triples, errors, out_dir, n_buckets, turns=turns, links=links
     )
+    if entities is not None:
+        from raptor_spark.operators.link import link_entities
+
+        extra_rows = ckpt.link_catchup(
+            spark, transcripts, out_dir, n_buckets, entities,
+            link_fn=link_entities,
+        )
+        if extra_rows is not None:
+            manifest = manifest.unionByName(extra_rows)
+    parsed.unpersist()
+    turns.unpersist()
+    return manifest

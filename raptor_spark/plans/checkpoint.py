@@ -26,13 +26,32 @@ def with_bucket(df: DataFrame, n_buckets: int, col: str = "conv_id") -> DataFram
 
 
 def finished_buckets(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
+    """(bucket, linked) for every bucket with a manifest row.
+
+    ``linked`` records whether the linking stage has run for the bucket
+    (see write_bucketed) — distinct from "linked with zero decisions".
+    Manifests may mix schema generations (rows written before the
+    linked/turns columns existed), so the read always merges schemas;
+    legacy rows, which na.fill(0)'d link_decisions, are conservatively
+    treated as linked only when decisions were recorded (re-linking a
+    zero-decision bucket is append-idempotent: it writes no link rows).
+    """
     manifest_path = os.path.join(out_dir, "manifest")
     if not os.path.isdir(manifest_path):
         return None
     try:
-        return spark.read.parquet(manifest_path).select("bucket").distinct()
+        df = spark.read.option("mergeSchema", "true").parquet(manifest_path)
     except Exception:
         return None
+    if "linked" in df.columns:
+        linked = F.coalesce(F.col("linked"), F.col("link_decisions") > 0)
+    elif "link_decisions" in df.columns:
+        linked = F.col("link_decisions") > 0
+    else:
+        linked = F.lit(False)
+    return df.groupBy("bucket").agg(
+        F.max(F.coalesce(linked, F.lit(False))).alias("linked")
+    )
 
 
 def filter_unfinished(
@@ -44,7 +63,9 @@ def filter_unfinished(
     if done is None:
         return bucketed
     # the finished-bucket list is tiny (<= n_buckets rows): broadcast anti-join
-    return bucketed.join(F.broadcast(done), "bucket", "left_anti")
+    return bucketed.join(
+        F.broadcast(done.select("bucket")), "bucket", "left_anti"
+    )
 
 
 def write_bucketed(
@@ -78,12 +99,16 @@ def write_bucketed(
     )
     man_e = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("errors"))
     manifest = man_t.join(man_e, "bucket", "full")
+    fill = ["convs", "triples", "errors"]
     if turns is not None:
         man_u = with_bucket(turns.select("conv_id"), n_buckets).groupBy(
             "bucket"
         ).agg(F.count(F.lit(1)).alias("turns"))
         manifest = manifest.join(man_u, "bucket", "full")
+        fill.append("turns")
     else:
+        # null, NOT 0: "turn counting didn't run" must stay
+        # distinguishable from "bucket with zero turns"
         manifest = manifest.withColumn("turns", F.lit(None).cast("long"))
     if links is not None:
         lk = with_bucket(links, n_buckets)
@@ -94,12 +119,77 @@ def write_bucketed(
             F.count(F.lit(1)).alias("link_decisions")
         )
         manifest = manifest.join(man_l, "bucket", "full")
+        fill.append("link_decisions")
     else:
+        # same null-vs-0 distinction for link decisions; `linked` below
+        # is the explicit per-row record of whether linking ran
         manifest = manifest.withColumn(
             "link_decisions", F.lit(None).cast("long")
         )
-    manifest = manifest.na.fill(
-        0, ["convs", "turns", "triples", "errors", "link_decisions"]
-    ).withColumn("ts", F.current_timestamp())
+    manifest = (
+        manifest.na.fill(0, fill)
+        .withColumn("linked", F.lit(links is not None))
+        .withColumn("ts", F.current_timestamp())
+        # materialize once: the manifest is both written and handed back
+        # for inspection, and its lineage reaches through the parse stage —
+        # without this, every downstream collect() re-runs the parse
+        .localCheckpoint()
+    )
     manifest.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
     return manifest
+
+
+def link_catchup(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int,
+    entities: DataFrame,
+    link_fn,
+) -> Optional[DataFrame]:
+    """Linking-only pass for buckets finished by a prior run WITHOUT
+    entity linking (resuming an out_dir first written without entities
+    must not leave links/ silently incomplete). Restricts the input to
+    the finished-but-unlinked buckets, runs only ``link_fn`` (no parse,
+    no triple rewrite), appends links/bucket= and linked=true manifest
+    rows whose other counters stay null (that work did not run here).
+    Returns the appended manifest rows, or None when every finished
+    bucket is already linked."""
+    fin = finished_buckets(spark, out_dir)
+    if fin is None:
+        return None
+    unlinked = fin.filter(~F.col("linked")).select("bucket")
+    if not unlinked.take(1):
+        return None
+    todo = with_bucket(transcripts, n_buckets).join(
+        F.broadcast(unlinked), "bucket", "left_semi"
+    )
+    lk = with_bucket(link_fn(todo.drop("bucket"), entities), n_buckets)
+    lk.write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(out_dir, "links")
+    )
+    null_long = F.lit(None).cast("long")
+    man = (
+        unlinked.join(
+            lk.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("link_decisions")
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            null_long.alias("convs"),
+            null_long.alias("triples"),
+            null_long.alias("errors"),
+            null_long.alias("turns"),
+            F.coalesce(F.col("link_decisions"), F.lit(0)).alias(
+                "link_decisions"
+            ),
+            F.lit(True).alias("linked"),
+            F.current_timestamp().alias("ts"),
+        )
+        .localCheckpoint()
+    )
+    man.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    return man

@@ -79,6 +79,43 @@ def test_lineage_counters_turns_and_links(spark, transcripts, tmp_path_factory):
     assert {r.bucket: r.link_decisions for r in rows} == per_bucket
 
 
+def test_resume_adds_linking_to_finished_buckets(
+    spark, transcripts, tmp_path_factory
+):
+    """Resuming an out_dir first written WITHOUT entities must not leave
+    links/ silently incomplete: the second run links the already-finished
+    buckets via a linking-only catch-up pass, and the manifest records
+    whether linking ran (linked flag; link_decisions null when it
+    didn't) rather than an ambiguous 0."""
+    from raptor_spark.operators.link import customer_entities
+    from raptor_spark.pipeline import run_resumable
+    from raptor_spark.plans import checkpoint as ckpt
+
+    out = str(tmp_path_factory.mktemp("kg_addlink"))
+    m1 = run_resumable(spark, transcripts, out, n_buckets=8)
+    rows1 = m1.collect()
+    assert rows1 and all(r.linked is False for r in rows1)
+    assert all(r.link_decisions is None for r in rows1)
+
+    ents = customer_entities(spark, "/root/testdata/sf0.001")
+    m2 = run_resumable(spark, transcripts, out, n_buckets=8, entities=ents)
+    rows2 = m2.collect()
+    # no bucket re-parsed (triples untouched), but every bucket linked
+    assert all(r.triples is None for r in rows2)
+    assert all(r.linked for r in rows2)
+    assert {r.bucket for r in rows2} == {r.bucket for r in rows1}
+    n_links = sum(r.link_decisions for r in rows2)
+    assert n_links == transcripts.select("conv_id").distinct().count()
+    assert spark.read.parquet(f"{out}/links").count() == n_links
+    fin = ckpt.finished_buckets(spark, out)
+    assert all(r.linked for r in fin.collect())
+
+    # third run: everything finished AND linked -> nothing to do
+    m3 = run_resumable(spark, transcripts, out, n_buckets=8, entities=ents)
+    assert m3.count() == 0
+    assert spark.read.parquet(f"{out}/links").count() == n_links
+
+
 def test_resume_processes_only_missing_buckets(spark, transcripts, tmp_path_factory):
     from raptor_spark.pipeline import run_resumable
     from raptor_spark.plans import checkpoint as ckpt
