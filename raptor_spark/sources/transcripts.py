@@ -417,6 +417,27 @@ def materialize_transcripts(
     return out
 
 
+def materialize_graph(spark: SparkSession, sf_dir: str) -> str:
+    """Build the KG once and cache it as a parquet graph table (keyed by
+    GEN_VERSION + sf like the transcript cache). Sink-side operators
+    (serialize_*) read THIS table: a deployment serializes a stored
+    graph, it does not re-run the parse stage per export — and a bench
+    of a sink should time the sink, not the upstream parse."""
+    import os
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/raptor_spark_graph_v{GEN_VERSION}_{name}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        from raptor_spark.pipeline import build_graph
+
+        triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+        triples.select(
+            "conv_id", "subj", "pred", "obj_kind", "obj_lex",
+            "obj_datatype", "obj_lang", "graph",
+        ).write.mode("overwrite").parquet(out)
+    return out
+
+
 def fixture_transcripts(
     spark: SparkSession,
     files: List[pathlib.Path],

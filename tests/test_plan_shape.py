@@ -127,3 +127,25 @@ def test_nt_sink_majority_stays_in_codegen(spark):  # noqa: F811
     assert '_:b1 <http://p> <http://o> <http://g> .' in out
     # the non-ASCII row routes through the kernel and gets \u-escaped
     assert '<http://s> <http://p> "caf\\u00E9" .' in out
+
+
+def test_nt_sink_single_scan(spark, tmp_path):  # noqa: F811
+    """The NT sink reads its source exactly ONCE: the fast/slow split is
+    a single projection (kernel UDF inputs nulled for clean rows), not a
+    union of complementary filters — which at corpus scale would read
+    the triples table twice."""
+    from raptor_spark.operators.serialize import nt_lines_df
+
+    src = str(tmp_path / "triples")
+    spark.createDataFrame(
+        [("c", "http://s", "http://p", 2, "v", None, None, None),
+         ("c", "http://s", "http://p", 2, "café", None, None, None)],
+        "conv_id string, subj string, pred string, obj_kind int, "
+        "obj_lex string, obj_datatype string, obj_lang string, graph string",
+    ).write.parquet(src)
+    df = nt_lines_df(spark.read.parquet(src), extra_cols=("conv_id",))
+    plan = _formatted_plan(df)
+    import re
+
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1, plan
+    assert df.count() == 2
