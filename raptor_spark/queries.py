@@ -2277,36 +2277,135 @@ GROUP BY a.tab, a.bucket
 )
 
 
-#: IVF-Flat coarse quantization: _IVF_CELLS seed vectors act as centroids
-#: (deterministic stand-in for offline k-means — at deployment the
-#: centroids are trained once and broadcast exactly the same way); every
-#: vector is assigned to its max-cosine cell, queries probe their
-#: _IVF_PROBES best cells and re-rank exactly inside them. Search cost
-#: per query ~ N * probes / cells instead of N.
-_IVF_CELLS = 16
-_IVF_PROBES = 2
+#: IVF-Flat coarse quantization, scale-parameterized: the cell count
+#: grows as ~sqrt(N) with the corpus (so per-query probe work is
+#: ~probes * N / cells = O(sqrt N), the classic IVF operating point),
+#: and the codebook is FIT, not seeded: a deterministic hash-sampled
+#: subset (~_IVF_SAMPLE_MULT vectors per cell) runs _IVF_ITERS rounds of
+#: spherical-k-means Lloyd refinement, then the trained codebook
+#: broadcasts to the assignment pass. The one-time build cost is the
+#: N x cells assignment (embarrassingly parallel, no shuffle of the
+#: vectors); per-query search touches only the probed cells. All float
+#: reductions are ordered folds so the DuckDB oracle reproduces the
+#: centroids bit-for-bit.
+#: probes is the recall knob: trained k-means at cells ~ sqrt(N) SPLITS
+#: natural clusters (k exceeds the cluster count), so a query's true
+#: neighbors spread over a few adjacent cells — 4 probes recovers them
+#: (measured: recall 0.34 @ 2 probes -> 0.55 @ 4 on the 16-cell corpus)
+#: while per-query work stays ~probes * sqrt(N).
+_IVF_PROBES = 4
 _ANN_K = 10
+_IVF_ITERS = 2
+_IVF_MIN_CELLS = 16
+_IVF_SAMPLE_MULT = 32
+
+
+def _ivf_params(n: int):
+    """(cells, sample_denom) for a corpus of n vectors — identical
+    arithmetic to the par CTE in the oracle (floor(sqrt) on the DOUBLE
+    sqrt, matching SQL, not isqrt)."""
+    import math
+
+    cells = max(_IVF_MIN_CELLS, int(math.floor(math.sqrt(n))))
+    s = min(n, max(512, _IVF_SAMPLE_MULT * cells))
+    return cells, max(1, n // s)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-k: assign all vectors to max-cosine cells over a
-    broadcast 16-centroid codebook (one narrow pass, no shuffle), probe
-    the 2 best cells per query, exact cosine re-rank within the probed
-    cells. Returns (query_id, neighbor_id, rk) like embedding_topk, whose
-    brute-force ranks serve as the recall reference (tests/test_ann.py)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    """IVF-Flat ANN top-k with a trained, scale-parameterized codebook:
+    cells = max(16, floor(sqrt(N))) centroids are fit by 2 Lloyd rounds
+    of spherical k-means over a deterministic hash sample (~32 vectors
+    per cell), broadcast, and every vector is assigned to its max-cosine
+    cell; queries (vec_id < 8) probe their _IVF_PROBES best cells and
+    re-rank exactly inside them. Returns (query_id, neighbor_id, rk)
+    like embedding_topk, whose brute-force ranks serve as the recall
+    reference (tests/test_ann.py).
+
+    Contract note: like Spark ML's KMeans.fit, training is EAGER at
+    construction time — a handful of small jobs over the hash sample;
+    the codebook is a model artifact (cells x dim doubles) collected to
+    the driver and re-broadcast per round. Keeping the whole 2-round
+    Lloyd lineage lazy was tried and rejected: the nested
+    window/groupBy/join tree makes driver-side plan analysis quadratic
+    (15s+ of pure planning at 44 cells). The returned SEARCH frame is a
+    shallow lazy plan over the trained codebook. At corpus scale the
+    N x cells assignment pass is the one-time build cost (map-only, no
+    vector shuffle); per-query search is ~probes * N / cells = O(sqrt N).
+    """
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = src.count()
+    cells, denom = _ivf_params(n)
+    emb = src.select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
-    seeds = F.broadcast(
-        emb.filter(F.col("vec_id") < _IVF_CELLS).select(
-            F.col("vec_id").alias("cell"), F.col("e").alias("ce")
-        )
+    hv = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    samp = emb.withColumn("hv", hv).filter(
+        F.col("hv") % denom == 0
+    ).localCheckpoint()
+    # k-means++-style seeding stand-in: hash order is corpus-independent
+    # and uniform, so the top-`cells` hash ranks are a deterministic
+    # uniform seed draw (the window sorts only the training sample)
+    w_seed = Window.orderBy("hv", "vec_id")
+    cent_rows = (
+        samp.withColumn("cell", F.row_number().over(w_seed) - 1)
+        .filter(F.col("cell") < cells)
+        .select("cell", F.col("e").alias("ce"))
+        .collect()
     )
-    scored = emb.crossJoin(seeds).select(
+    cent_rows = [(r["cell"], r["ce"]) for r in cent_rows]
+
+    def _cent_df(rows):
+        # Python floats round-trip IEEE doubles exactly, so the collected
+        # codebook re-enters the plan bit-identical
+        return spark.createDataFrame(rows, "cell int, ce array<double>")
+
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    for _ in range(_IVF_ITERS):
+        cent = _cent_df(cent_rows)
+        scored = samp.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "e", "cell", _emb_cos("e", "ce").alias("ccos")
+        )
+        win = (
+            scored.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("cell", "vec_id", "e")
+        )
+        pe = win.select("cell", "vec_id", F.posexplode("e").alias("pos", "val"))
+        # ordered fold (by vec_id) -> bit-exact across engines; a plain
+        # SUM() would depend on partition-order float association
+        dmeans = pe.groupBy("cell", "pos").agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                        lambda s: s["val"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("mv")
+        )
+        newc = {
+            r["cell"]: r["nce"]
+            for r in dmeans.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("nce")
+            ).collect()
+        }
+        # an empty cell keeps its previous centroid
+        cent_rows = [
+            (c, newc.get(c, ce)) for c, ce in cent_rows
+        ]
+    cent = _cent_df(cent_rows)
+    scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "e", "cell", _emb_cos("e", "ce").alias("ccos")
     )
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
     ranked = scored.withColumn("crk", F.row_number().over(wv))
     assign = ranked.filter(F.col("crk") == 1).select(
         "vec_id", "cell", F.col("e").alias("ne")
@@ -2331,15 +2430,74 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ANN_TOPK_ORACLE = """
+_SQL_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of q_ann_topk: same parameter arithmetic (par CTE),
+    same hash sample/seeds, same unrolled Lloyd rounds with ordered-fold
+    centroid means, same probe/re-rank."""
+    it = """
+asg{i} AS (
+  SELECT s.vec_id, s.e, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                            ORDER BY {cos_sc} DESC, c.cell ASC) AS rk
+  FROM samp s, cent{p} c
+),
+win{i} AS (SELECT cell, vec_id, e FROM asg{i} WHERE rk = 1),
+pe{i} AS (
+  SELECT cell, vec_id, i - 1 AS pos, e[i] AS val
+  FROM win{i}, UNNEST(range(1, len(e) + 1)) AS d(i)
+),
+dim{i} AS (
+  SELECT cell, pos,
+         list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+           / COUNT(*) AS mv
+  FROM pe{i} GROUP BY cell, pos
+),
+newc{i} AS (SELECT cell, list(mv ORDER BY pos) AS nce FROM dim{i} GROUP BY cell),
+cent{i} AS (
+  SELECT c.cell, COALESCE(n.nce, c.ce) AS ce
+  FROM cent{p} c LEFT JOIN newc{i} n ON n.cell = c.cell
+)"""
+    iters = "".join(
+        "," + it.format(
+            i=i + 1, p=i,
+            cos_sc=_SQL_COS.format(a="s.e", b="c.ce"),
+        )
+        for i in range(_IVF_ITERS)
+    )
+    return (
+        """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-seeds AS (SELECT vec_id AS cell, e AS ce FROM e WHERE vec_id < 16),
+par0 AS (SELECT COUNT(*) AS n FROM e),
+par1 AS (SELECT n, GREATEST({min_cells}, CAST(FLOOR(SQRT(n)) AS BIGINT)) AS cells
+         FROM par0),
+par AS (SELECT n, cells,
+               GREATEST(1, n // LEAST(n, GREATEST(512, {mult} * cells))) AS denom
+        FROM par1),
+h AS (
+  SELECT vec_id, e,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM e
+),
+samp AS (SELECT vec_id, e, hv FROM h, par WHERE hv % par.denom = 0),
+seeds AS (
+  SELECT vec_id, e,
+         ROW_NUMBER() OVER (ORDER BY hv, vec_id) - 1 AS cell
+  FROM samp
+),
+cent0 AS (SELECT cell, e AS ce FROM seeds, par WHERE cell < par.cells)"""
+        + iters
+        + """,
 scored AS (
-  SELECT e.vec_id, e.e, s.cell,
-         list_dot_product(e.e, s.ce)
-           / (sqrt(list_dot_product(e.e, e.e))
-              * sqrt(list_dot_product(s.ce, s.ce))) AS ccos
-  FROM e, seeds s
+  SELECT e.vec_id, e.e, c.cell,
+         {cos_full} AS ccos
+  FROM e, cent{last} c
 ),
 ranked AS (
   SELECT vec_id, e, cell,
@@ -2349,12 +2507,10 @@ ranked AS (
 ),
 assign AS (SELECT vec_id, cell, e AS ne FROM ranked WHERE crk = 1),
 probe AS (SELECT vec_id AS query_id, cell, e AS qe
-          FROM ranked WHERE vec_id < 8 AND crk <= 2),
+          FROM ranked WHERE vec_id < 8 AND crk <= {probes}),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
-         list_dot_product(p.qe, a.ne)
-           / (sqrt(list_dot_product(p.qe, p.qe))
-              * sqrt(list_dot_product(a.ne, a.ne))) AS sim
+         {cos_qn} AS sim
   FROM probe p JOIN assign a ON a.cell = p.cell
   WHERE a.vec_id <> p.query_id
 )
@@ -2362,8 +2518,20 @@ SELECT query_id, neighbor_id, CAST(rk AS INT) AS rk
 FROM (SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rk
-      FROM cand) WHERE rk <= 10
+      FROM cand) WHERE rk <= {k}
 """
+    ).format(
+        min_cells=_IVF_MIN_CELLS,
+        mult=_IVF_SAMPLE_MULT,
+        last=_IVF_ITERS,
+        probes=_IVF_PROBES,
+        k=_ANN_K,
+        cos_full=_SQL_COS.format(a="e.e", b="c.ce"),
+        cos_qn=_SQL_COS.format(a="p.qe", b="a.ne"),
+    )
+
+
+_ANN_TOPK_ORACLE = _ivf_oracle_sql()
 
 
 # --------------------------------------------------------------------------

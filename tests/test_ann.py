@@ -31,6 +31,43 @@ def test_ann_topk_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"recall {recall:.3f}"
 
 
+def test_ann_topk_recall_at_64plus_cells(spark, tmp_path):
+    """Scale-parameterization gate: on a corpus big enough that
+    cells = floor(sqrt(N)) >= 64, the trained-codebook IVF path must
+    still recover most brute-force neighbors. Replicates the sf0.01
+    embeddings 32x under distinct vec_ids (clusters preserved; queries
+    vec_id < 8 unchanged) so N ~ 6400 -> ~80 cells."""
+    import pyspark.sql.functions as F
+
+    from raptor_spark.queries import (
+        _ivf_params,
+        q_ann_topk,
+        q_embedding_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n0 = emb.count()
+    reps = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n0 * 10))
+        for i in range(32)
+    ]
+    big = reps[0]
+    for r in reps[1:]:
+        big = big.unionByName(r)
+    d = str(tmp_path / "sf_rep")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    big.write.parquet(f"{d}/embeddings.parquet")
+    cells, _denom = _ivf_params(n0 * 32)
+    assert cells >= 64, cells
+    exact = _pairs(q_embedding_topk(spark, d))
+    approx = _pairs(q_ann_topk(spark, d))
+    assert exact and approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.3f} at {cells} cells"
+
+
 def test_ann_lsh_candidate_space_subquadratic(spark):
     from raptor_spark.queries import q_ann_lsh
 
