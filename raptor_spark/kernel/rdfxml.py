@@ -129,6 +129,130 @@ class _Abort(Exception):
     """Stop the expat feed after a fatal grammar error."""
 
 
+class _RewriteBail(Exception):
+    """Tolerant pre-pass hit a construct it won't re-serialize (DOCTYPE,
+    entity declarations) — fall back to the original expat error."""
+
+
+#: sentinels the tolerant pre-pass writes for names expat's namespace
+#: processor rejects; both are valid NCNames that cannot collide with
+#: real content (the pre-pass only runs on documents expat already
+#: rejected). `rsp.emptyP.x` = attribute ":x" (empty prefix -> default
+#: namespace, reference: raptor_namespaces_find_namespace(nstack, "", 0)
+#: via ex-64.rdf); local name `rsp.emptyL` = empty local part ("ns:",
+#: bug-650.rdf), mapped back when rendering XML literals.
+_EMPTY_PREFIX = "rsp.emptyP."
+_EMPTY_LOCAL = "rsp.emptyL"
+
+
+def _tolerant_rewrite(data) -> Optional[str]:
+    """Re-serialize a namespace-ill-formed document into a form expat's
+    namespace processor accepts, preserving the reference's tolerant
+    semantics for the three constructs it parses but expat rejects
+    (tests/rdfxml ex-64/ex-65/bug-650; the reference documents the
+    mirror-image backend gap as RDF_MAYFAIL_XML_TEST_FILES in
+    tests/rdfxml/Makefile.am):
+
+    - attribute ":x" (empty prefix) -> `rsp.emptyP.x`, resolved against
+      the in-scope default namespace by _classify_attrs;
+    - duplicate attributes through two prefixes of one namespace URI:
+      the LATER occurrence wins (the reference frees the first value,
+      src/raptor_rdfxml.c rdf_attr handling);
+    - empty local names ("ns:", "rdf:") -> `prefix:rsp.emptyL`, mapped
+      back when XML literals are rendered; an element ":x" becomes "x"
+      (both mean the default namespace in namespace-XML).
+
+    Walks the document with a NON-namespace expat parser (XML 1.0 allows
+    ':' anywhere in a Name, so these documents are well-formed without
+    namespace processing) and re-serializes events. Returns None when
+    nothing needed fixing (so previously-rejected documents keep their
+    original errors) or when the document is not XML-1.0-well-formed."""
+    p = xml.parsers.expat.ParserCreate()
+    p.ordered_attributes = True
+    out: List[str] = []
+    fixed = [False]
+    scopes: List[dict] = [{}]
+
+    def fix_attr_name(name: str) -> str:
+        if name.startswith(":"):
+            fixed[0] = True
+            return _EMPTY_PREFIX + name[1:]
+        if name.endswith(":"):
+            fixed[0] = True
+            return name + _EMPTY_LOCAL
+        return name
+
+    def fix_elem_name(name: str) -> str:
+        if name.startswith(":"):
+            fixed[0] = True
+            return name[1:]
+        if name.endswith(":"):
+            fixed[0] = True
+            return name + _EMPTY_LOCAL
+        return name
+
+    def start(name, attrs):
+        scope = dict(scopes[-1])
+        pairs = [(attrs[i], attrs[i + 1]) for i in range(0, len(attrs), 2)]
+        for k, v in pairs:
+            if k == "xmlns":
+                scope[""] = v
+            elif k.startswith("xmlns:"):
+                scope[k[6:]] = v
+        scopes.append(scope)
+
+        def key(k: str):
+            if k == "xmlns" or k.startswith("xmlns:"):
+                return ("xmlns", k)
+            if ":" in k and not k.startswith(":") and not k.endswith(":"):
+                pfx, loc = k.split(":", 1)
+                uri = scope.get(pfx)
+                if uri:
+                    return ("ns", uri, loc)
+            return ("q", k)
+
+        deduped: List[Tuple[str, str]] = []
+        seen: dict = {}
+        for k, v in pairs:
+            kk = key(k)
+            if kk in seen:
+                # later occurrence wins; drop the earlier one in place
+                deduped[seen[kk]] = None
+                fixed[0] = True
+            seen[kk] = len(deduped)
+            deduped.append((k, v))
+        parts = ["<", fix_elem_name(name)]
+        for kv in deduped:
+            if kv is None:
+                continue
+            k, v = kv
+            parts.append(' %s="%s"' % (fix_attr_name(k), _xml_escape_attr(v)))
+        parts.append(">")
+        out.append("".join(parts))
+
+    def end(name):
+        scopes.pop()
+        out.append("</%s>" % fix_elem_name(name))
+
+    def bail(*_a, **_kw):
+        raise _RewriteBail()
+
+    p.StartElementHandler = start
+    p.EndElementHandler = end
+    p.CharacterDataHandler = lambda s: out.append(_xml_escape_text(s))
+    p.CommentHandler = lambda s: out.append("<!--%s-->" % s)
+    p.ProcessingInstructionHandler = (
+        lambda t, d: out.append("<?%s %s?>" % (t, d))
+    )
+    p.StartDoctypeDeclHandler = bail
+    p.EntityDeclHandler = bail
+    try:
+        p.Parse(data, True)
+    except (xml.parsers.expat.ExpatError, _RewriteBail):
+        return None
+    return "".join(out) if fixed[0] else None
+
+
 class _Frame:
     """One element-stack entry (reference: raptor_rdfxml_element)."""
 
@@ -221,12 +345,16 @@ class _Parser:
         self._lit_depth = 0
         self._lit_parts: List[str] = []
         self._lit_ns_stack: List[set] = []
+        # in-scope default-namespace URIs (needed to resolve the
+        # empty-prefix attribute sentinel the tolerant pre-pass writes)
+        self._default_ns: List[Optional[str]] = []
         self.p = xml.parsers.expat.ParserCreate(namespace_separator=" ")
         self.p.namespace_prefixes = True
         self.p.StartElementHandler = self._start
         self.p.EndElementHandler = self._end
         self.p.CharacterDataHandler = self._cdata
         self.p.StartNamespaceDeclHandler = self._ns_decl
+        self.p.EndNamespaceDeclHandler = self._ns_end
         self.p.CommentHandler = self._comment
         self.p.ProcessingInstructionHandler = self._pi
 
@@ -255,6 +383,8 @@ class _Parser:
 
     def _ns_decl(self, prefix, uri):
         self._pending_ns.append((prefix, uri))
+        if prefix is None:
+            self._default_ns.append(uri)
         if uri:
             self.namespaces.append((prefix or "", uri))
         if uri and uri != RDF_NS:
@@ -266,10 +396,25 @@ class _Parser:
             elif RDF_NS.startswith(uri) and len(uri) >= len(RDF_NS) - 1:
                 self._warn("namespace URI %r is a truncation of the RDF namespace" % uri)
 
+    def _ns_end(self, prefix):
+        if prefix is None and self._default_ns:
+            self._default_ns.pop()
+
     # -- XML literal writer ------------------------------------------------
+    @staticmethod
+    def _lit_qname(prefix: Optional[str], local: str) -> str:
+        # map the tolerant pre-pass sentinels back to their source forms
+        # so XML literals render the original (empty-local/empty-prefix)
+        # names, byte-identical to the reference (bug-650.rdf)
+        if local == _EMPTY_LOCAL:
+            local = ""
+        elif local.startswith(_EMPTY_PREFIX):
+            return ":" + local[len(_EMPTY_PREFIX):]
+        return (prefix + ":" + local) if prefix else local
+
     def _lit_start(self, name: str, attrs: Dict[str, str], explicit_ns):
         uri, local, prefix = self._split(name)
-        qname = (prefix + ":" + local) if prefix else local
+        qname = self._lit_qname(prefix, local)
         inherited = self._lit_ns_stack[-1] if self._lit_ns_stack else frozenset()
         needed = {}
         if uri and uri != XML_NS:
@@ -296,10 +441,8 @@ class _Parser:
             auri, alocal, aprefix = self._split(k)
             if auri == XML_NS:
                 aq = "xml:" + alocal
-            elif aprefix:
-                aq = aprefix + ":" + alocal
             else:
-                aq = alocal
+                aq = self._lit_qname(aprefix, alocal)
             rendered_attrs.append((aq, v))
         for aq, v in sorted(rendered_attrs):
             parts.append(' %s="%s"' % (aq, _xml_escape_attr(v)))
@@ -312,7 +455,7 @@ class _Parser:
 
     def _lit_end(self, name: str):
         uri, local, prefix = self._split(name)
-        qname = (prefix + ":" + local) if prefix else local
+        qname = self._lit_qname(prefix, local)
         self._lit_parts.append("</%s>" % qname)
         self._lit_ns_stack.pop()
         self._lit_depth -= 1
@@ -385,6 +528,23 @@ class _Parser:
                     xbase = v
                 continue
             if uri is None:
+                if local.startswith(_EMPTY_PREFIX):
+                    # tolerant pre-pass sentinel for ':x': the reference
+                    # resolves an empty attribute prefix against the
+                    # default namespace (ex-64.rdf)
+                    real = local[len(_EMPTY_PREFIX):]
+                    dns = self._default_ns[-1] if self._default_ns else None
+                    if dns:
+                        self._warn(
+                            "attribute ':%s' with an empty prefix uses the "
+                            "default namespace" % real
+                        )
+                        prop_attrs.append((dns + real, real, v))
+                        continue
+                    self._error(
+                        "attribute ':%s' has an empty prefix and no default "
+                        "namespace is in scope" % real
+                    )
                 if local in _RDF_SYNTAX_ATTRS:
                     self._warn(
                         "unqualified use of rdf attribute %r is deprecated" % local
@@ -805,7 +965,7 @@ class _Parser:
                    lex, dt, lg, reify_id=f.reify_id, node=parent)
 
     # -- driver ----------------------------------------------------------------
-    def run(self, text):
+    def run(self, text, _allow_rewrite: bool = True):
         try:
             # surrogatepass: lone surrogates (however they got into the
             # string) become bytes expat will reject as malformed UTF-8 —
@@ -823,6 +983,20 @@ class _Parser:
         except _Abort:
             pass
         except xml.parsers.expat.ExpatError as e:
+            # tolerant retry: when expat's NAMESPACE processor rejects a
+            # construct the reference accepts, re-serialize (see
+            # _tolerant_rewrite) and reparse fresh; anything not fixable
+            # keeps the original error
+            fixed = _tolerant_rewrite(data) if _allow_rewrite else None
+            if fixed is not None:
+                p2 = _Parser(self.base, scan=self.scan)
+                p2.run(fixed, _allow_rewrite=False)
+                self.triples = p2.triples
+                self.errors = p2.errors
+                self.warnings = p2.warnings
+                self.namespaces = p2.namespaces
+                self._seen_root = p2._seen_root
+                return
             self.errors.append(
                 {"line": self.p.CurrentLineNumber, "message": "XML error: %s" % e}
             )

@@ -19,11 +19,12 @@ from raptor_spark.kernel.suites import REF_TESTS, makefile_vars
 SUITE = REF_TESTS / "rdfxml"
 BASE_URI = "http://librdf.org/raptor/tests/"
 
-# Documents expat rejects before RDF processing starts (leading-colon
-# attribute name; duplicate attribute through two prefixes of one
-# namespace). The reference keeps the same kind of backend-dependent list
-# for libxml2: RDF_MAYFAIL_XML_TEST_FILES in tests/rdfxml/Makefile.am.
-XFAIL_EXPAT = {"ex-64.rdf", "ex-65.rdf", "bug-650.rdf"}
+# Formerly expat-rejected documents (leading-colon attribute; duplicate
+# attribute through two prefixes of one namespace; empty local names),
+# now handled by the kernel's tolerant rewrite pre-pass
+# (kernel/rdfxml.py _tolerant_rewrite) — kept listed so a regression in
+# that path names the affected files.
+XFAIL_EXPAT: set = set()
 
 _SPECIAL_BASE = {
     "22-rdf-syntax-ns": "http://www.w3.org/1999/02/22-rdf-syntax-ns",
