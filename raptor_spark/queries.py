@@ -116,22 +116,23 @@ def q_kg_pipeline_iceberg(
     )
 
 
-_KG_STREAM_ORACLE = (
-    _KG_ORACLE.replace("FROM orders", "FROM orders WHERE o_orderkey <= 400")
-    .replace("FROM lineitem", "FROM lineitem WHERE l_orderkey <= 400")
-)
+# the stateful streaming path is oracle-equal to the batch pipeline over
+# the ENTIRE corpus — same oracle as kg_pipeline, no row cap
+_KG_STREAM_ORACLE = _KG_ORACLE
 
 
 def q_kg_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming KG construction is value-equivalent to the
-    batch pipeline: materialize the transcripts for orders <= 400 plus
-    one far-future 'advancer' conversation, drain
+    batch pipeline: materialize the FULL transcript corpus plus one
+    far-future 'advancer' conversation, drain
     streaming.incremental.stream_incremental_kg once (the advancer
     pushes the event-time watermark past every real conversation's gap,
     so the final no-data micro-batch fires all their timers; the
     advancer itself stays buffered and is excluded), relabel bnodes
     like the batch path, and return the streamed triples. The oracle is
-    the batch KG reconstruction restricted to the same orders."""
+    the same full-corpus KG reconstruction the batch pipeline is
+    checked against, so the stateful path is value-verified at the
+    same scale as the batch path."""
     import tempfile
 
     from raptor_spark.operators.canonical import relabel_bnodes
@@ -141,13 +142,10 @@ def q_kg_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_incremental_kg,
     )
 
-    cap = 400
     base = tempfile.mkdtemp(prefix="rsp_stream_q_")
     inp = f"{base}/in"
     out = f"{base}/out"
-    tpch_transcripts(spark, sf_dir, max_orders=cap).write.mode(
-        "overwrite"
-    ).parquet(inp)
+    tpch_transcripts(spark, sf_dir).write.mode("overwrite").parquet(inp)
     adv = spark.createDataFrame(
         [(
             "zz-advancer", 0, "user",
