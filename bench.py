@@ -43,11 +43,15 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_jaccard",
     "dedup_simhash",
+    "dedup_cascade",
+    "dedup_clusters",
+    "corpus_curate",
     "rdfa_extract",
     "embedding_topk",
     "ann_topk",
     "serialize_grouped",
     "serialize_ntriples",
+    "serialize_rt_turtle",
 ]
 
 WARMUP_DIR = "/root/testdata/sf0.001"
@@ -161,6 +165,39 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["kg_iceberg_triples_per_sec"] = int(
             extra["kg_pipeline_iceberg_rows"] / timings["kg_pipeline_iceberg"]
         )
+    # connected-components convergence evidence: pointer doubling must
+    # keep the round count tiny even when every document sits in an
+    # 8-member exact-dup clique (8x-replicated sf0.01 corpus)
+    if "dedup_clusters" in headline:
+        try:
+            import tempfile
+
+            from pyspark.sql import functions as F
+
+            from raptor_spark import queries as Q
+
+            extra["dedup_clusters_rounds"] = Q.CLUSTER_STATS["rounds"]
+            docs = spark.read.parquet(
+                "/root/testdata/sf0.01/documents.parquet"
+            )
+            n_d = docs.count()
+            big = None
+            for i in range(8):
+                d = docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * n_d * 10)
+                )
+                big = d if big is None else big.unionByName(d)
+            rep_dir = tempfile.mkdtemp(prefix="rsp_bench_x8_")
+            big.write.parquet(f"{rep_dir}/documents.parquet")
+            t0 = time.time()
+            QUERIES["dedup_clusters"](spark, rep_dir).count()
+            extra["dedup_clusters_x8_sec"] = round(time.time() - t0, 3)
+            extra["dedup_clusters_x8_rounds"] = Q.CLUSTER_STATS["rounds"]
+            extra["dedup_clusters_x8_converged"] = Q.CLUSTER_STATS[
+                "converged"
+            ]
+        except Exception:
+            pass
     # sub-quadratic evidence for the LSH candidate spaces: emitted pairs /
     # candidate evaluations vs the all-pairs counts they replace
     try:

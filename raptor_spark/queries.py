@@ -939,24 +939,24 @@ def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     check-turtle-serialize (rapper -o turtle | rdfdiff). Oracle knows the
     expected distinct-statement count per conversation."""
     from raptor_spark.operators.serialize import serialize_roundtrip_counts
-    from raptor_spark.pipeline import build_graph
-    from raptor_spark.sources.transcripts import tpch_transcripts
+    from raptor_spark.sources.transcripts import materialize_graph
 
-    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    triples = spark.read.parquet(materialize_graph(spark, sf_dir))
     return serialize_roundtrip_counts(triples)
 
 
 def _rt_query(fmt: str):
     """queries() entry factory: roundtrip-count the given buffered writer
     so every serializer (reference registry src/raptor_serialize.c) gets
-    its own oracle row, not just pytest coverage."""
+    its own oracle row, not just pytest coverage. Reads the materialized
+    graph table (sinks serialize a stored graph; the parse path has its
+    own oracles)."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from raptor_spark.operators.serialize import serialize_roundtrip_counts
-        from raptor_spark.pipeline import build_graph
-        from raptor_spark.sources.transcripts import tpch_transcripts
+        from raptor_spark.sources.transcripts import materialize_graph
 
-        triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+        triples = spark.read.parquet(materialize_graph(spark, sf_dir))
         return serialize_roundtrip_counts(triples, fmt=fmt)
 
     q.__name__ = "q_serialize_rt_" + fmt.replace("-", "_")
