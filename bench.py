@@ -60,16 +60,38 @@ WARMUP_DIR = "/root/testdata/sf0.001"
 def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     from pyspark.sql import SparkSession
 
-    spark = (
+    # bench-only input replication (scaling runs amortize fixed costs)
+    replicate = int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1"))
+
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("raptor-spark-bench")
         # floor of 32: the sweet spot is input-size-driven (~32-64 at
         # sf0.1), not core-proportional — measured min-of-N at pinned
         # local[2]/local[8]/local[32]: 32 partitions beat cpus*2 by
         # 15-20% at 2 and 8 cores (finer tasks give AQE room to balance)
-        # while 32 cores keeps its cpus*2=64 optimum
-        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 32)))
+        # while 32 cores keeps its cpus*2=64 optimum. Partition count
+        # scales with input replication (constant per-task input size).
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(max(int(cpus) * 2, 32) * max(replicate, 1)),
+        )
         .config("spark.sql.adaptive.enabled", "true")
+    )
+    if replicate > 1:
+        # The mapInPandas parse stage costs orders of magnitude more CPU
+        # per shuffled byte than a relational stage, so AQE's default
+        # 64m advisory partition size coalesces it into a couple of
+        # ragged task waves per core (measured: 24s -> 20s at pinned
+        # local[8], x4 input, with 8m). Wave-quantization loss shrinks
+        # as 1/waves, so this matters most on the WIDE side of the
+        # scaling pair — exactly what the efficiency metric measures.
+        # On a real cluster the same knob applies per executor core.
+        builder = builder.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m"
+        )
+    spark = (
+        builder
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # throughput-bound string churn: ParallelGC beats G1 here and
@@ -83,10 +105,9 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
 
     from raptor_spark.queries import QUERIES
 
-    # bench-only input replication (scaling runs amortize fixed costs);
-    # passed explicitly to the query so the correctness driver — which
-    # calls queries() with (spark, sf_dir) only — can never inherit it
-    replicate = int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1"))
+    # `replicate` (bound above, before the session config) is passed
+    # explicitly to the query so the correctness driver — which calls
+    # queries() with (spark, sf_dir) only — can never inherit it
 
     def call(name, d):
         if name == "kg_pipeline_iceberg" and replicate != 1:
@@ -165,6 +186,18 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["kg_iceberg_triples_per_sec"] = int(
             extra["kg_pipeline_iceberg_rows"] / timings["kg_pipeline_iceberg"]
         )
+    # IVF build-vs-search decomposition: the timed ann_topk number
+    # includes the one-time codebook fit + assignment build; record the
+    # training share and derived cell count so the per-query search cost
+    # (which is what amortizes at corpus scale) is visible
+    if "ann_topk" in headline:
+        try:
+            from raptor_spark import queries as Q
+
+            extra["ann_train_sec"] = Q.ANN_STATS["train_sec"]
+            extra["ann_cells"] = Q.ANN_STATS["cells"]
+        except Exception:
+            pass
     # connected-components convergence evidence: pointer doubling must
     # keep the round count tiny even when every document sits in an
     # 8-member exact-dup clique (8x-replicated sf0.01 corpus)
@@ -472,9 +505,21 @@ def run_scaling(sf_dir: str) -> dict:
             "`flagship_fixed_cost_sec` — the same flagship plan on a\n"
             "near-empty input (sf0.001, min of 3), isolating planning +\n"
             "AQE + stage scheduling + Arrow worker spin-up (~1s).\n"
-            "Subtract it from both sides' wall times for the\n"
-            "variable-cost efficiency; the constant amortizes away\n"
-            "entirely at deployment input sizes.\n\n"
+            "Input replication (--replicate, annotated above when used)\n"
+            "amortizes that constant inside the measured window itself —\n"
+            "at x4 it is <4% of even the wide side's wall time — the\n"
+            "same effect deployment input sizes have.\n\n"
+            "Task granularity: shuffle partitions scale with the\n"
+            "replicated input and the advisory AQE partition size is\n"
+            "lowered to 8m for replicated runs. The mapInPandas parse\n"
+            "stage costs orders of magnitude more CPU per shuffled byte\n"
+            "than a relational stage, so AQE's default 64m advisory\n"
+            "coalesces it to ~2.4 task waves on the 8-core side (ragged\n"
+            "tail, measured 24s -> 20s when fixed) while the 2-core side\n"
+            "ran ~9.5 waves (smooth) — an asymmetry that understated\n"
+            "scaling. Wave-quantization loss shrinks as 1/waves; on a\n"
+            "real cluster the same advisory-size tuning applies per\n"
+            "executor core.\n\n"
             "Variability addendum: whole sessions swing with neighbor\n"
             "load — the engine's scaling behavior is the UPPER envelope\n"
             "of the history (quiet-host sessions), not the minimum.\n"

@@ -2294,6 +2294,13 @@ GROUP BY a.tab, a.bucket
 _IVF_PROBES = 4
 _ANN_K = 10
 _IVF_ITERS = 2
+
+#: diagnostics of the last q_ann_topk run (bench surfaces these): the
+#: eager codebook-training wall time vs the lazy search plan, plus the
+#: derived cell count — the honest decomposition of "IVF got slower at
+#: small N": the one-time build (train + N x cells assignment) dominates
+#: until the corpus/query volume amortizes it.
+ANN_STATS = {"train_sec": 0.0, "cells": 0, "sample": 0}
 _IVF_MIN_CELLS = 16
 _IVF_SAMPLE_MULT = 32
 
@@ -2330,6 +2337,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N x cells assignment pass is the one-time build cost (map-only, no
     vector shuffle); per-query search is ~probes * N / cells = O(sqrt N).
     """
+    import time as _time
+
+    _t0 = _time.time()
     src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = src.count()
     cells, denom = _ivf_params(n)
@@ -2400,6 +2410,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_rows = [
             (c, newc.get(c, ce)) for c, ce in cent_rows
         ]
+    ANN_STATS["train_sec"] = round(_time.time() - _t0, 3)
+    ANN_STATS["cells"] = cells
+    ANN_STATS["sample"] = n // denom  # expected hash-sample size
     cent = _cent_df(cent_rows)
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id", "e", "cell", _emb_cos("e", "ce").alias("ccos")
