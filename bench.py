@@ -149,6 +149,21 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["loadavg_start"] = float(open("/proc/loadavg").read().split()[0])
     except OSError:
         pass
+
+    # storm signature for the whole timed window (same detector the
+    # scaling mode uses per round): machine-wide kernel-time share of
+    # busy CPU. Clean runs sit <10%; hypervisor-contention storms read
+    # 40-80% while loadavg/steal% look normal — when this is high, the
+    # per-query numbers below measured the host, not the engine.
+    def _machine_cpu():
+        f = open("/proc/stat").readline().split()
+        u, nn, s = int(f[1]), int(f[2]), int(f[3])
+        return u + nn, s + int(f[6]) + int(f[7])
+
+    try:
+        _u0, _s0 = _machine_cpu()
+    except OSError:
+        _u0 = None
     for name in headline:
         best = None
         for _ in range(repeats):
@@ -163,6 +178,12 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     try:
         extra["loadavg_end"] = float(open("/proc/loadavg").read().split()[0])
         extra["bench_repeats"] = repeats
+        if _u0 is not None:
+            _u1, _s1 = _machine_cpu()
+            du, ds = _u1 - _u0, _s1 - _s0
+            extra["stime_share"] = round(
+                ds / (du + ds) if du + ds > 0 else 0.0, 3
+            )
     except OSError:
         pass
     if "kg_pipeline_iceberg" in headline and os.path.isdir(WARMUP_DIR):
