@@ -240,24 +240,59 @@ def _rows_to_triples(pdf: pd.DataFrame):
     ]
 
 
+_TRIPLE_STRUCT = ("subj", "pred", "obj_kind", "obj_lex", "obj_datatype",
+                  "obj_lang", "graph")
+
+
+def _grouped_triples(triples: DataFrame, group_col: str) -> DataFrame:
+    """(group, ts: array<struct>) — one row per document group. The
+    buffered writers consume this instead of applyInPandas-per-key:
+    at corpus scale the per-key pandas-frame + function-call overhead
+    (one invocation per conversation) dominates the actual writer
+    kernels; collect_list + mapInPandas batches thousands of groups
+    per Arrow batch with the SAME single shuffle."""
+    return (
+        triples.select(
+            group_col,
+            F.struct(*_TRIPLE_STRUCT).alias("t"),
+        )
+        .groupBy(group_col)
+        .agg(F.collect_list("t").alias("ts"))
+    )
+
+
+def _structs_to_triples(ts) -> list:
+    return [
+        Triple(
+            t["subj"], t["pred"], int(t["obj_kind"]), t["obj_lex"],
+            t["obj_datatype"], t["obj_lang"], t["graph"],
+        )
+        for t in ts
+    ]
+
+
 def serialize_documents(
     triples: DataFrame, fmt: str, group_col: str = "conv_id"
 ) -> DataFrame:
     """(group, triples...) -> (group, payload): one serialized document
-    per group via the buffered writer kernels."""
+    per group via the buffered writer kernels. One shuffle (the group
+    aggregation), then a map-only Arrow stage that runs the writer for
+    thousands of groups per batch (see _grouped_triples)."""
     writer = _WRITERS[fmt]
-    cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
-            "obj_datatype", "obj_lang", "graph"]
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {group_col: [key[0]], "payload": [writer(_rows_to_triples(pdf))]}
-        )
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col],
+                    "payload": [
+                        writer(_structs_to_triples(ts)) for ts in pdf["ts"]
+                    ],
+                }
+            )
 
-    return (
-        triples.select(*cols)
-        .groupBy(group_col)
-        .applyInPandas(run, schema=f"{group_col} string, payload string")
+    return _grouped_triples(triples, group_col).mapInPandas(
+        run, schema=f"{group_col} string, payload string"
     )
 
 
@@ -312,12 +347,12 @@ def rss10_roundtrip_stats(
     then Arrow-batched per-feed kernels — identical scaling shape to
     the other buffered writers."""
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def one(ts):
         from raptor_spark.kernel import rss as R
         from raptor_spark.kernel.atom import to_rss10
         from raptor_spark.kernel.compare import graphs_isomorphic
 
-        tl = _rows_to_triples(pdf)
+        tl = _structs_to_triples(ts)
         n_in = len(set(tl))
         try:
             xml = to_rss10(tl)
@@ -326,25 +361,24 @@ def rss10_roundtrip_stats(
             n_out = -1 if errs else len(set(back))
         except ValueError:
             ok, n_out = False, -1
-        return pd.DataFrame(
-            {
-                group_col: [key[0]],
-                "n_in": [n_in],
-                "n_out": [n_out],
-                "lossless": [bool(ok)],
-            }
-        )
+        return n_in, n_out, bool(ok)
 
-    cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
-            "obj_datatype", "obj_lang", "graph"]
-    return (
-        triples.select(*cols)
-        .groupBy(group_col)
-        .applyInPandas(
-            run,
-            schema=f"{group_col} string, n_in long, n_out long, "
-            "lossless boolean",
-        )
+    def run(batches):
+        for pdf in batches:
+            res = [one(ts) for ts in pdf["ts"]]
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col],
+                    "n_in": [r[0] for r in res],
+                    "n_out": [r[1] for r in res],
+                    "lossless": [r[2] for r in res],
+                }
+            )
+
+    return _grouped_triples(triples, group_col).mapInPandas(
+        run,
+        schema=f"{group_col} string, n_in long, n_out long, "
+        "lossless boolean",
     )
 
 
@@ -358,16 +392,18 @@ def serialize_roundtrip_counts(
     the expected count per group."""
     writer = _RT_WRITERS[fmt]
 
-    cols = [group_col, "subj", "pred", "obj_kind", "obj_lex",
-            "obj_datatype", "obj_lang", "graph"]
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col],
+                    "n_triples": [
+                        _roundtrip_count(writer(_structs_to_triples(ts)), fmt)
+                        for ts in pdf["ts"]
+                    ],
+                }
+            )
 
-    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        doc = writer(_rows_to_triples(pdf))
-        n = _roundtrip_count(doc, fmt)
-        return pd.DataFrame({group_col: [key[0]], "n_triples": [n]})
-
-    return (
-        triples.select(*cols)
-        .groupBy(group_col)
-        .applyInPandas(run, schema=f"{group_col} string, n_triples long")
+    return _grouped_triples(triples, group_col).mapInPandas(
+        run, schema=f"{group_col} string, n_triples long"
     )
