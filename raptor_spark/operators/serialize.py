@@ -12,8 +12,9 @@ Two paths, mirroring the reference's serializer split
 - **Buffered, per-document** (turtle/trig/rdfxml/json/dot/html — the
   abbreviating writers buffer a whole graph, grouped by subject:
   src/raptor_serialize_turtle.c:1388-1497): one shuffle on the grouping
-  key, then an Arrow-batched ``applyInPandas`` that runs the pure-Python
-  writer kernel per conversation. Documents are independent, so this
+  key (a ``collect_list`` aggregation), then a map-only Arrow stage
+  that runs the pure-Python writer kernel for thousands of
+  conversations per batch. Documents are independent, so this
   scales linearly with partitions — the Spark analogue of "the abbrev
   serializer buffers one model per output document".
 """

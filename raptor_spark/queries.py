@@ -934,7 +934,8 @@ FROM li JOIN fmt ON li.k = fmt.k
 
 def q_serialize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Buffered abbreviating writer exercised distributed: serialize each
-    conversation's graph as TriG (groupBy + applyInPandas), reparse it,
+    conversation's graph as TriG (one group shuffle + batched Arrow
+    writer stage), reparse it,
     count statements — the Spark form of the reference's
     check-turtle-serialize (rapper -o turtle | rdfdiff). Oracle knows the
     expected distinct-statement count per conversation."""
