@@ -314,7 +314,10 @@ def run_scaling(sf_dir: str) -> dict:
             SPARK_GRAFT_SF_DIR=sf_dir,
             SPARK_GRAFT_CPUS=cpus,
             SPARK_GRAFT_QUERIES=flag,
-            SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "1"),
+            # min-of-2 timed runs per side: a sub-threshold noise burst
+            # during either side's single run skews that round's ratio;
+            # taking each side's best of two keeps both numerators clean
+            SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "2"),
             SPARK_GRAFT_FULL_WARMUP="1",
             RAPTOR_SPARK_BENCH_REPLICATE=os.environ.get(
                 "RAPTOR_SPARK_BENCH_REPLICATE", "1"
@@ -505,10 +508,12 @@ def run_scaling(sf_dir: str) -> dict:
             "Methodology: each run is pinned with taskset to exactly its\n"
             "core budget (local[N] alone only limits task slots — GC and\n"
             "Python workers would overflow onto idle cores and flatter\n"
-            "the small-N side). The N and 4N jobs of a round run\n"
-            "back-to-back and the median per-round efficiency across\n"
-            "rounds is reported, because the shared host's spare CPU\n"
-            "drifts on a minutes scale. (Running the two sides\n"
+            "the small-N side). Each side's wall time is the MIN of two\n"
+            "timed runs (a sub-threshold noise burst during a single run\n"
+            "would skew that round's ratio). The N and 4N jobs of a\n"
+            "round run back-to-back and the median per-round efficiency\n"
+            "across rounds is reported, because the shared host's spare\n"
+            "CPU drifts on a minutes scale. (Running the two sides\n"
             "simultaneously on disjoint core sets was tried and rejected:\n"
             "N+4N loaded cores saturate shared memory bandwidth and the\n"
             "4N side absorbs most of the hit.) The pair stays\n"
