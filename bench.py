@@ -160,30 +160,49 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         u, nn, s = int(f[1]), int(f[2]), int(f[3])
         return u + nn, s + int(f[6]) + int(f[7])
 
-    try:
-        _u0, _s0 = _machine_cpu()
-    except OSError:
-        _u0 = None
-    for name in headline:
-        best = None
-        for _ in range(repeats):
-            t0 = time.time()
-            df = call(name, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        extra[name + "_rows"] = n
+    def _timed_loop():
+        try:
+            u0, s0 = _machine_cpu()
+        except OSError:
+            u0 = None
+        got = {}
+        for name in headline:
+            best = None
+            for _ in range(repeats):
+                t0 = time.time()
+                df = call(name, sf_dir)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            got[name] = round(best, 3)
+            extra[name + "_rows"] = n
+        share = None
+        if u0 is not None:
+            try:
+                u1, s1 = _machine_cpu()
+                du, ds = u1 - u0, s1 - s0
+                share = round(ds / (du + ds) if du + ds > 0 else 0.0, 3)
+            except OSError:
+                pass
+        return got, share
+
+    timings, share = _timed_loop()
+    extra["stime_share"] = share
+    if share is not None and share > 0.30:
+        # the whole timed window sat inside a hypervisor storm (see the
+        # _machine_cpu comment): every number above measured the host,
+        # not the engine. Retry the loop ONCE and take per-query mins;
+        # both windows' kernel-time shares stay recorded so a run whose
+        # retry was also stormy is identifiable.
+        timings2, share2 = _timed_loop()
+        extra["stime_share_retry"] = share2
+        timings = {
+            k: min(timings[k], timings2.get(k, timings[k])) for k in timings
+        }
 
     try:
         extra["loadavg_end"] = float(open("/proc/loadavg").read().split()[0])
         extra["bench_repeats"] = repeats
-        if _u0 is not None:
-            _u1, _s1 = _machine_cpu()
-            du, ds = _u1 - _u0, _s1 - _s0
-            extra["stime_share"] = round(
-                ds / (du + ds) if du + ds > 0 else 0.0, 3
-            )
     except OSError:
         pass
     if "kg_pipeline_iceberg" in headline and os.path.isdir(WARMUP_DIR):
