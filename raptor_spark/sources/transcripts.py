@@ -417,16 +417,22 @@ def materialize_transcripts(
     return out
 
 
+#: bump when PIPELINE semantics change (parse kernels, canonicalize,
+#: relabel, dedup): the cached graph table depends on the whole
+#: transcripts->triples path, not just the synthesis GEN_VERSION
+GRAPH_VERSION = 1
+
+
 def materialize_graph(spark: SparkSession, sf_dir: str) -> str:
     """Build the KG once and cache it as a parquet graph table (keyed by
-    GEN_VERSION + sf like the transcript cache). Sink-side operators
+    GEN_VERSION + GRAPH_VERSION + sf). Sink-side operators
     (serialize_*) read THIS table: a deployment serializes a stored
     graph, it does not re-run the parse stage per export — and a bench
     of a sink should time the sink, not the upstream parse."""
     import os
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    out = f"/tmp/raptor_spark_graph_v{GEN_VERSION}_{name}"
+    out = f"/tmp/raptor_spark_graph_v{GEN_VERSION}.{GRAPH_VERSION}_{name}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         from raptor_spark.pipeline import build_graph
 

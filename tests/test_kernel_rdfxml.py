@@ -104,6 +104,42 @@ def test_rdfxml_scan():
     assert not fails, fails
 
 
+def test_tolerant_rewrite_scope():
+    """The rewrite pre-pass must only repair the three known constructs:
+    anything else expat rejected stays rejected (accepted/rejected sets
+    unchanged)."""
+    from raptor_spark.kernel.rdfxml import _tolerant_rewrite
+
+    # unbound prefix: XML-1.0-well-formed, nothing to fix -> None, and
+    # the namespace reparse would still fail; error preserved
+    assert _tolerant_rewrite(b'<a:doc xmlns:b="http://x/"/>') is None
+    # not well-formed at the XML 1.0 level -> None
+    assert _tolerant_rewrite(b"<doc><open></doc>") is None
+    # DOCTYPE -> bail (pre-pass will not re-serialize entity machinery)
+    assert (
+        _tolerant_rewrite(
+            b'<!DOCTYPE doc [<!ENTITY e "v">]><doc a=":x"/>'
+        )
+        is None
+    )
+    # nothing wrong -> None (never rewrites documents it can't improve)
+    assert _tolerant_rewrite(b'<doc xmlns="http://x/" p="v">t</doc>') is None
+    # the fixable constructs do rewrite
+    out = _tolerant_rewrite(b'<doc xmlns="http://x/" :p="v"/>')
+    assert out is not None and "rsp.emptyP.p" in out
+    out = _tolerant_rewrite(b"<doc><ns: xmlns:ns='http://x/'/></doc>")
+    assert out is not None and "ns:rsp.emptyL" in out
+
+    # a repaired-but-still-invalid document still errors through the
+    # full parser (empty-prefix attr with NO default namespace in scope)
+    triples, errs = RX.parse_document(
+        b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        b'<rdf:Description rdf:about="http://e/x" :p="v"/></rdf:RDF>',
+        base_uri="http://e/",
+    )
+    assert errs, "empty prefix without a default namespace must error"
+
+
 def test_rdfxml_bad():
     v = makefile_vars("rdfxml")
     passes = []
