@@ -51,7 +51,7 @@ RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 # bump when the synthesis logic changes: versions the materialized
 # /tmp table path so stale caches can never be read
-GEN_VERSION = 3
+GEN_VERSION = 4
 
 
 def _format_col(orderkey):
@@ -195,16 +195,24 @@ def tpch_transcripts(
     # (five separate collect_list(struct(ln, X)) aggs would keep five
     # copies of the group in the aggregation buffers and sort five
     # times); ties on ln break deterministically on the line arrays,
-    # which only affects in-document order, never the triple set
+    # which only affects in-document order, never the triple set.
+    # Each rendering is gated by the order's format bucket — an order
+    # uses exactly ONE syntax, so building all five line sets for every
+    # lineitem would put ~4x dead string payload through the aggregation
+    # shuffle (empty arrays for the unused syntaxes ride for free).
+    b = F.pmod(F.col("k"), F.lit(10))
+    gate = lambda cond, arr: F.when(cond, arr).otherwise(
+        F.array().cast("array<string>")
+    )
     li_grouped = (
         li.select(
             "k",
             "ln",
-            li_nt.alias("nt_lines"),
-            li_ttl.alias("ttl_lines"),
-            li_xml_item.alias("xml_item_lines"),
-            li_xml_node.alias("xml_node_lines"),
-            li_json.alias("json_lines"),
+            gate((b <= 3) | (b == 8), li_nt).alias("nt_lines"),
+            gate((b >= 6) & (b != 8), li_ttl).alias("ttl_lines"),
+            gate(b == 4, li_xml_item).alias("xml_item_lines"),
+            gate(b == 4, li_xml_node).alias("xml_node_lines"),
+            gate(b == 5, li_json).alias("json_lines"),
         )
         .groupBy("k")
         .agg(
@@ -237,7 +245,8 @@ def tpch_transcripts(
         "li_nt_stripped",
         F.transform(
             F.coalesce(F.col("li_nt"), F.array().cast("array<string>")),
-            lambda x: F.regexp_replace(x, r" \.$", ""),
+            # every NT line ends in " ." — a fixed-width strip, no regex
+            lambda x: x.substr(F.lit(1), F.length(x) - 2),
         ),
     )
     empty = F.array().cast("array<string>")
