@@ -186,14 +186,19 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
                 pass
         return got, share
 
+    _loop_t0 = time.time()
     timings, share = _timed_loop()
+    _loop_sec = time.time() - _loop_t0
     extra["stime_share"] = share
-    if share is not None and share > 0.30:
+    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "180"))
+    if share is not None and share > 0.30 and _loop_sec < retry_budget:
         # the whole timed window sat inside a hypervisor storm (see the
         # _machine_cpu comment): every number above measured the host,
         # not the engine. Retry the loop ONCE and take per-query mins;
         # both windows' kernel-time shares stay recorded so a run whose
-        # retry was also stormy is identifiable.
+        # retry was also stormy is identifiable. The retry is skipped
+        # when the first loop already ran long (bounds total wall time
+        # for callers with their own timeout).
         timings2, share2 = _timed_loop()
         extra["stime_share_retry"] = share2
         timings = {
