@@ -190,7 +190,7 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     timings, share = _timed_loop()
     _loop_sec = time.time() - _loop_t0
     extra["stime_share"] = share
-    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "180"))
+    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "240"))
     if share is not None and share > 0.30 and _loop_sec < retry_budget:
         # the whole timed window sat inside a hypervisor storm (see the
         # _machine_cpu comment): every number above measured the host,
