@@ -36,3 +36,25 @@ def test_parse_random_bytes_never_raises(data):
     fmt = guess_format(text)
     triples, errors = parse_one(text, fmt, "http://base/")
     assert isinstance(triples, list) and isinstance(errors, list)
+
+
+_colon_parts = st.sampled_from(
+    [
+        '<doc xmlns="http://x/"', ' :p="v"', ' ns:="w"', "><ns:",
+        ' rdf:=""', "/></doc>", '<!DOCTYPE d [<!ENTITY e "v">]>',
+        ' xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"',
+        ' rdf:about="x" r:about="y"',
+    ]
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_colon_parts, max_size=8).map("".join))
+def test_rdfxml_tolerant_rewrite_never_raises(text):
+    """Colon-heavy near-XML exercises the namespace-ill-formedness
+    rewrite pre-pass (kernel/rdfxml._tolerant_rewrite); whatever the
+    outcome, the parser returns (triples, errors), never raises."""
+    from raptor_spark.kernel import rdfxml as RX
+
+    triples, errors = RX.parse_document(text, base_uri="http://base/")
+    assert isinstance(triples, list) and isinstance(errors, list)
