@@ -166,7 +166,17 @@ def _tolerant_rewrite(data) -> Optional[str]:
     ':' anywhere in a Name, so these documents are well-formed without
     namespace processing) and re-serializes events. Returns None when
     nothing needed fixing (so previously-rejected documents keep their
-    original errors) or when the document is not XML-1.0-well-formed."""
+    original errors) or when the document is not XML-1.0-well-formed.
+
+    Also returns None when the document already CONTAINS the sentinel
+    strings (a real attribute named ``rsp.emptyP.x`` would otherwise be
+    mis-resolved as an empty-prefix attribute after an unrelated
+    rewrite), and bails on an ill-formed ``xmlns:`` attribute (renaming
+    it would silently turn it into a live namespace declaration for the
+    sentinel prefix — the reference rejects such documents)."""
+    probe = data.decode("utf-8", "ignore") if isinstance(data, bytes) else data
+    if _EMPTY_PREFIX in probe or _EMPTY_LOCAL in probe:
+        return None
     p = xml.parsers.expat.ParserCreate()
     p.ordered_attributes = True
     out: List[str] = []
@@ -178,6 +188,10 @@ def _tolerant_rewrite(data) -> Optional[str]:
             fixed[0] = True
             return _EMPTY_PREFIX + name[1:]
         if name.endswith(":"):
+            if name == "xmlns:":
+                # renaming would mint a live declaration for the
+                # sentinel prefix; reject like DOCTYPE
+                raise _RewriteBail()
             fixed[0] = True
             return name + _EMPTY_LOCAL
         return name

@@ -61,27 +61,32 @@ def _nt_line_fn(
     # null subj marks a row routed to the column fast path (nt_lines_df
     # nulls the kernel inputs for clean rows so nothing rides the Arrow
     # batch for them); real triples always have a subject
-    out = pd.Series([None] * len(subj), dtype=object)
-    todo = subj.notna()
-    if not todo.any():
-        return out
-    for i in subj.index[todo]:
-        s, p = subj[i], pred[i]
-        ok, ol = obj_kind[i], obj_lex[i]
-        od, og, g = obj_datatype[i], obj_lang[i], graph[i]
-        parts = [
-            render_subjlike(s),
-            "<" + escape_nt_uri(p) + ">",
-            nt_render_term(
-                int(ok), ol,
-                None if od is None else od,
-                None if og is None else og,
-            ),
-        ]
-        if g is not None:
-            parts.append(render_subjlike(g))
-        out[i] = " ".join(parts) + " ."
-    return out
+    # positional (iloc-style) iteration: Arrow batches normally carry a
+    # RangeIndex, but label-based setitem would append rows if one ever
+    # didn't, so never rely on index alignment here
+    vals = [None] * len(subj)
+    todo = subj.notna().to_numpy().nonzero()[0]
+    if len(todo):
+        sv, pv = subj.to_numpy(), pred.to_numpy()
+        okv, olv = obj_kind.to_numpy(), obj_lex.to_numpy()
+        odv, ogv, gv = (
+            obj_datatype.to_numpy(), obj_lang.to_numpy(), graph.to_numpy()
+        )
+        for i in todo:
+            od, og, g = odv[i], ogv[i], gv[i]
+            parts = [
+                render_subjlike(sv[i]),
+                "<" + escape_nt_uri(pv[i]) + ">",
+                nt_render_term(
+                    int(okv[i]), olv[i],
+                    None if od is None else od,
+                    None if og is None else og,
+                ),
+            ]
+            if g is not None:
+                parts.append(render_subjlike(g))
+            vals[i] = " ".join(parts) + " ."
+    return pd.Series(vals, dtype=object, index=subj.index)
 
 
 _nt_line_udf_cached = None

@@ -108,25 +108,29 @@ def run_resumable(
     parsed = parse_documents(
         docs, base_uri_col=base_uri_col, dedup_per_doc=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    triples = relabel_bnodes(triples_of(parsed))
-    errors = errors_of(parsed)
-    links = None
-    if entities is not None:
-        from raptor_spark.operators.link import link_entities
+    try:
+        triples = relabel_bnodes(triples_of(parsed))
+        errors = errors_of(parsed)
+        links = None
+        if entities is not None:
+            from raptor_spark.operators.link import link_entities
 
-        links = link_entities(turns, entities)
-    manifest = ckpt.write_bucketed(
-        triples, errors, out_dir, n_buckets, turns=turns, links=links
-    )
-    if entities is not None:
-        from raptor_spark.operators.link import link_entities
-
-        extra_rows = ckpt.link_catchup(
-            spark, transcripts, out_dir, n_buckets, entities,
-            link_fn=link_entities,
+            links = link_entities(turns, entities)
+        manifest = ckpt.write_bucketed(
+            triples, errors, out_dir, n_buckets, turns=turns, links=links
         )
-        if extra_rows is not None:
-            manifest = manifest.unionByName(extra_rows)
-    parsed.unpersist()
-    turns.unpersist()
-    return manifest
+        if entities is not None:
+            from raptor_spark.operators.link import link_entities
+
+            extra_rows = ckpt.link_catchup(
+                spark, transcripts, out_dir, n_buckets, entities,
+                link_fn=link_entities,
+            )
+            if extra_rows is not None:
+                manifest = manifest.unionByName(extra_rows)
+        return manifest
+    finally:
+        # unpersist even when a write/link stage throws: a long-running
+        # session must not accumulate MEMORY_AND_DISK blocks per failure
+        parsed.unpersist()
+        turns.unpersist()

@@ -132,33 +132,52 @@ def q_kg_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     like the batch path, and return the streamed triples. The oracle is
     the same full-corpus KG reconstruction the batch pipeline is
     checked against, so the stateful path is value-verified at the
-    same scale as the batch path."""
-    import tempfile
+    same scale as the batch path.
+
+    The stream input/output live in a VERSION-KEYED /tmp dir (like
+    materialize_graph) rather than a fresh mkdtemp per call: the output
+    must outlive this function (the caller collects the returned
+    DataFrame), and repeated correctness runs must not accumulate
+    corpus-sized parquet trees. A ``_DRAINED`` marker makes re-runs
+    reuse the drained result; a stale partial dir is wiped first."""
+    import os
+    import shutil
 
     from raptor_spark.operators.canonical import relabel_bnodes
-    from raptor_spark.sources.transcripts import tpch_transcripts
+    from raptor_spark.sources.transcripts import (
+        GEN_VERSION,
+        GRAPH_VERSION,
+        _sf_cache_key,
+        tpch_transcripts,
+    )
     from raptor_spark.streaming.incremental import (
         TRANSCRIPT_SCHEMA,
         stream_incremental_kg,
     )
 
-    base = tempfile.mkdtemp(prefix="rsp_stream_q_")
+    base = "/tmp/raptor_spark_stream_v%s.%s_%s" % (
+        GEN_VERSION, GRAPH_VERSION, _sf_cache_key(sf_dir)
+    )
     inp = f"{base}/in"
     out = f"{base}/out"
-    tpch_transcripts(spark, sf_dir).write.mode("overwrite").parquet(inp)
-    adv = spark.createDataFrame(
-        [(
-            "zz-advancer", 0, "user",
-            "<http://ex.org/zz> <http://ex.org/p> <http://ex.org/o> .\n",
-            "ntriples",
-            __import__("datetime").datetime(2100, 1, 1),
-        )],
-        TRANSCRIPT_SCHEMA,
-    )
-    adv.write.mode("append").parquet(inp)
-    stream_incremental_kg(
-        spark, inp, out, gap_seconds=3600, max_files_per_trigger=64
-    )
+    marker = f"{base}/_DRAINED"
+    if not os.path.exists(marker):
+        shutil.rmtree(base, ignore_errors=True)
+        tpch_transcripts(spark, sf_dir).write.mode("overwrite").parquet(inp)
+        adv = spark.createDataFrame(
+            [(
+                "zz-advancer", 0, "user",
+                "<http://ex.org/zz> <http://ex.org/p> <http://ex.org/o> .\n",
+                "ntriples",
+                __import__("datetime").datetime(2100, 1, 1),
+            )],
+            TRANSCRIPT_SCHEMA,
+        )
+        adv.write.mode("append").parquet(inp)
+        stream_incremental_kg(
+            spark, inp, out, gap_seconds=3600, max_files_per_trigger=64
+        )
+        open(marker, "w").close()
     streamed = spark.read.parquet(f"{out}/triples")
     return relabel_bnodes(streamed).select(
         "subj", "pred", "obj_kind", "obj_lex", "obj_datatype", "obj_lang",

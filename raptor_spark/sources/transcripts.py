@@ -386,6 +386,26 @@ def tpch_transcripts(
     )
 
 
+def _sf_cache_key(sf_dir: str) -> str:
+    """Cache-directory key for a scale-factor dir: basename plus a short
+    digest of the ABSOLUTE path and the source parquet mtimes, so two
+    datasets at different paths with the same basename don't collide and
+    regenerated testdata under an unchanged path invalidates the cache."""
+    import glob
+    import hashlib
+    import os
+
+    ap = os.path.abspath(sf_dir.rstrip("/"))
+    sig = [ap]
+    for f in sorted(glob.glob(os.path.join(ap, "*.parquet"))):
+        try:
+            sig.append("%s:%d" % (os.path.basename(f), int(os.stat(f).st_mtime)))
+        except OSError:
+            pass
+    digest = hashlib.sha1("|".join(sig).encode()).hexdigest()[:10]
+    return "%s_%s" % (os.path.basename(ap), digest)
+
+
 def materialize_transcripts(
     spark: SparkSession,
     sf_dir: str,
@@ -402,7 +422,7 @@ def materialize_transcripts(
     import os
     from functools import reduce
 
-    name = os.path.basename(sf_dir.rstrip("/"))
+    name = _sf_cache_key(sf_dir)
     suffix = f"_x{replicate}" if replicate > 1 else ""
     out = out_dir or (
         f"/tmp/raptor_spark_transcripts_v{GEN_VERSION}_{name}{suffix}"
@@ -440,7 +460,7 @@ def materialize_graph(spark: SparkSession, sf_dir: str) -> str:
     of a sink should time the sink, not the upstream parse."""
     import os
 
-    name = os.path.basename(sf_dir.rstrip("/"))
+    name = _sf_cache_key(sf_dir)
     out = f"/tmp/raptor_spark_graph_v{GEN_VERSION}.{GRAPH_VERSION}_{name}"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         from raptor_spark.pipeline import build_graph

@@ -130,6 +130,21 @@ def test_tolerant_rewrite_scope():
     out = _tolerant_rewrite(b"<doc><ns: xmlns:ns='http://x/'/></doc>")
     assert out is not None and "ns:rsp.emptyL" in out
 
+    # sentinel collision: a document that ALREADY contains the sentinel
+    # strings must not be rewritten (an unrelated repair would later
+    # mis-resolve the literal attribute as an empty-prefix one)
+    assert (
+        _tolerant_rewrite(b'<doc xmlns="http://x/" rsp.emptyP.x="v" :p="w"/>')
+        is None
+    )
+    assert (
+        _tolerant_rewrite(b"<doc rsp.emptyL='v'><ns: xmlns:ns='http://x/'/></doc>")
+        is None
+    )
+    # an ill-formed "xmlns:" attribute must bail, not become a live
+    # namespace declaration for the sentinel prefix
+    assert _tolerant_rewrite(b'<doc xmlns:="http://x/" :p="v"/>') is None
+
     # a repaired-but-still-invalid document still errors through the
     # full parser (empty-prefix attr with NO default namespace in scope)
     triples, errs = RX.parse_document(
