@@ -1654,20 +1654,26 @@ _EMB_BITS = 8
 _EMB_BUCKET_CAP = 200
 
 
-def _emb_cos(a: str, b: str):
+def _emb_cos_cols(a, b):
+    """Cosine between two array<double> COLUMN expressions (usable inside
+    higher-order-function lambdas, not just on named top-level columns)."""
     dot = F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     norm = lambda c: F.sqrt(
         F.aggregate(
-            F.transform(F.col(c), lambda x: x * x),
+            F.transform(c, lambda x: x * x),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
     return dot / (norm(a) * norm(b))
+
+
+def _emb_cos(a: str, b: str):
+    return _emb_cos_cols(F.col(a), F.col(b))
 
 
 def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
@@ -2336,6 +2342,45 @@ def _ivf_params(n: int):
     return cells, max(1, n // s)
 
 
+def _ivf_cb_df(spark: SparkSession, rows):
+    """Codebook as ONE row holding array<struct<cell,ce>> sorted by cell:
+    broadcast-crossJoined so every vector row sees the whole codebook as
+    a column — no N x cells row expansion."""
+    return spark.createDataFrame(
+        [(sorted(rows),)], "cb array<struct<cell:int, ce:array<double>>>"
+    )
+
+
+def _ivf_argmax_cell(cb_col):
+    """MAP-ONLY argmax over the codebook column: score every cell inside
+    transform(), take the lexicographic array_max of (ccos, -cell) —
+    highest cosine, ties to the LOWEST cell — identical selection to a
+    ROW_NUMBER() ... ORDER BY ccos DESC, cell ASC = 1, with no row
+    expansion and no exchange."""
+    return F.array_max(
+        F.transform(
+            cb_col,
+            lambda c: F.struct(
+                _emb_cos_cols(F.col("e"), c["ce"]).alias("ccos"),
+                (-c["cell"]).alias("negcell"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+
+
+def _ivf_assign(emb: DataFrame, cb_df: DataFrame) -> DataFrame:
+    """Full-corpus IVF cell assignment, (vec_id, e) -> (vec_id, cell, ne).
+    Map-only by construction: one broadcast of the codebook row, a fold
+    per vector — the plan must show NO exchange between the scan and the
+    assignment output (test_plan_shape.py::test_ann_assign_no_exchange)."""
+    return emb.crossJoin(F.broadcast(cb_df)).select(
+        "vec_id",
+        _ivf_argmax_cell(F.col("cb"))["cell"].alias("cell"),
+        F.col("e").alias("ne"),
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN top-k with a trained, scale-parameterized codebook:
     cells = max(16, floor(sqrt(N))) centroids are fit by 2 Lloyd rounds
@@ -2353,9 +2398,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd lineage lazy was tried and rejected: the nested
     window/groupBy/join tree makes driver-side plan analysis quadratic
     (15s+ of pure planning at 44 cells). The returned SEARCH frame is a
-    shallow lazy plan over the trained codebook. At corpus scale the
-    N x cells assignment pass is the one-time build cost (map-only, no
-    vector shuffle); per-query search is ~probes * N / cells = O(sqrt N).
+    shallow lazy plan over the trained codebook. The assignment pass is
+    genuinely map-only: the codebook rides as ONE broadcast
+    array<struct> column and each vector folds over it (array_max of
+    (ccos, -cell) structs) — no N x cells row expansion, no exchange
+    between the scan and the assignment (gated by
+    test_plan_shape.py::test_ann_assign_no_exchange); per-query search
+    is ~probes * N / cells = O(sqrt N) behind a broadcast probe join.
     """
     import time as _time
 
@@ -2390,16 +2439,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # codebook re-enters the plan bit-identical
         return spark.createDataFrame(rows, "cell int, ce array<double>")
 
-    wv = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    def _cb_df(rows):
+        return _ivf_cb_df(spark, rows)
+
     for _ in range(_IVF_ITERS):
-        cent = _cent_df(cent_rows)
-        scored = samp.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "e", "cell", _emb_cos("e", "ce").alias("ccos")
-        )
-        win = (
-            scored.withColumn("rk", F.row_number().over(wv))
-            .filter(F.col("rk") == 1)
-            .select("cell", "vec_id", "e")
+        win = samp.crossJoin(F.broadcast(_cb_df(cent_rows))).select(
+            _ivf_argmax_cell(F.col("cb"))["cell"].alias("cell"), "vec_id", "e"
         )
         pe = win.select("cell", "vec_id", F.posexplode("e").alias("pos", "val"))
         # ordered fold (by vec_id) -> bit-exact across engines; a plain
@@ -2433,19 +2478,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN_STATS["train_sec"] = round(_time.time() - _t0, 3)
     ANN_STATS["cells"] = cells
     ANN_STATS["sample"] = n // denom  # expected hash-sample size
-    cent = _cent_df(cent_rows)
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "e", "cell", _emb_cos("e", "ce").alias("ccos")
-    )
-    ranked = scored.withColumn("crk", F.row_number().over(wv))
-    assign = ranked.filter(F.col("crk") == 1).select(
-        "vec_id", "cell", F.col("e").alias("ne")
-    )
+    # full-corpus assignment: broadcast the codebook-as-a-column and fold
+    # per row — map-only, the plan has NO exchange between the parquet
+    # scan and the assignment (gated by test_plan_shape.py)
+    assign = _ivf_assign(emb, _cb_df(cent_rows))
+    # probe selection runs only over the 8 query vectors (top _IVF_PROBES
+    # cells each): the crossJoin + window is 8 x cells rows, driver-trivial
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
     probe = (
-        ranked.filter((F.col("vec_id") < 8) & (F.col("crk") <= _IVF_PROBES))
-        .select(F.col("vec_id").alias("query_id"), "cell", F.col("e").alias("qe"))
+        emb.filter(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(_cent_df(cent_rows)))
+        .select(
+            F.col("vec_id").alias("query_id"), "cell",
+            F.col("e").alias("qe"), _emb_cos("e", "ce").alias("ccos"),
+        )
+        .withColumn("crk", F.row_number().over(wp))
+        .filter(F.col("crk") <= _IVF_PROBES)
+        .select("query_id", "cell", "qe")
     )
-    cand = probe.join(assign, "cell").filter(
+    # probe is queries x probes rows — broadcast it so the big assign side
+    # joins map-side (no shuffle of vector payloads)
+    cand = F.broadcast(probe).join(assign, "cell").filter(
         F.col("query_id") != F.col("vec_id")
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
