@@ -150,32 +150,47 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     except OSError:
         pass
 
-    # storm signature for the whole timed window (same detector the
-    # scaling mode uses per round): machine-wide kernel-time share of
-    # busy CPU. Clean runs sit <10%; hypervisor-contention storms read
-    # 40-80% while loadavg/steal% look normal — when this is high, the
-    # per-query numbers below measured the host, not the engine.
+    # storm signature (same detector the scaling mode uses per round):
+    # machine-wide kernel-time share of busy CPU. Clean runs sit <10%;
+    # hypervisor-contention storms read 40-80% while loadavg/steal% look
+    # normal — a high share means the window measured the host, not the
+    # engine. Measured PER QUERY so the retry logic below can re-run
+    # exactly the contaminated queries (the round-3 whole-window retry
+    # could never fire: the full headline loop always outran its budget).
     def _machine_cpu():
         f = open("/proc/stat").readline().split()
         u, nn, s = int(f[1]), int(f[2]), int(f[3])
         return u + nn, s + int(f[6]) + int(f[7])
 
-    def _timed_loop():
+    # eager-at-construction queries record their build/train seconds in
+    # module stats dicts; the bench copies the value from the repeat that
+    # produced the reported (min) timing so build vs read/search compare
+    # like-with-like across rounds
+    def _build_stat(name):
+        from raptor_spark import queries as Q
+
+        if name == "ann_topk":
+            return Q.ANN_STATS.get("train_sec")
+        if name in ("dedup_clusters", "corpus_curate"):
+            return Q.CLUSTER_STATS.get("build_sec")
+        return None
+
+    def _time_query(name):
+        """min-of-`repeats` timing for one query, plus the machine-wide
+        kernel-time share over this query's whole window and the build
+        stat of the best repeat."""
         try:
             u0, s0 = _machine_cpu()
         except OSError:
             u0 = None
-        got = {}
-        for name in headline:
-            best = None
-            for _ in range(repeats):
-                t0 = time.time()
-                df = call(name, sf_dir)
-                n = df.count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            got[name] = round(best, 3)
-            extra[name + "_rows"] = n
+        best, n, build = None, None, None
+        for _ in range(repeats):
+            t0 = time.time()
+            df = call(name, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, build = dt, _build_stat(name)
         share = None
         if u0 is not None:
             try:
@@ -184,26 +199,84 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
                 share = round(ds / (du + ds) if du + ds > 0 else 0.0, 3)
             except OSError:
                 pass
-        return got, share
+        return round(best, 3), n, share, build
 
-    _loop_t0 = time.time()
-    timings, share = _timed_loop()
-    _loop_sec = time.time() - _loop_t0
-    extra["stime_share"] = share
-    retry_budget = float(os.environ.get("SPARK_GRAFT_RETRY_BUDGET", "240"))
-    if share is not None and share > 0.30 and _loop_sec < retry_budget:
-        # the whole timed window sat inside a hypervisor storm (see the
-        # _machine_cpu comment): every number above measured the host,
-        # not the engine. Retry the loop ONCE and take per-query mins;
-        # both windows' kernel-time shares stay recorded so a run whose
-        # retry was also stormy is identifiable. The retry is skipped
-        # when the first loop already ran long (bounds total wall time
-        # for callers with their own timeout).
-        timings2, share2 = _timed_loop()
-        extra["stime_share_retry"] = share2
-        timings = {
-            k: min(timings[k], timings2.get(k, timings[k])) for k in timings
-        }
+    timings, shares, builds = {}, {}, {}
+    try:
+        g_u0, g_s0 = _machine_cpu()
+    except OSError:
+        g_u0 = None
+    for name in headline:
+        timings[name], extra[name + "_rows"], shares[name], builds[name] = (
+            _time_query(name)
+        )
+
+    # targeted storm retries: re-run ONLY the queries whose own window's
+    # kernel-time share crossed the clean bar, up to
+    # SPARK_GRAFT_STORM_RETRIES passes; sub-second queries are exempt
+    # (few jiffies make the ratio noise, and a storm can only inflate
+    # them by fractions of a second)
+    storm_bar = float(os.environ.get("SPARK_GRAFT_QUERY_STORM", "0.15"))
+    retried = []
+    for _pass in range(int(os.environ.get("SPARK_GRAFT_STORM_RETRIES", "2"))):
+        dirty = [
+            q for q in headline
+            if shares.get(q) is not None
+            and shares[q] >= storm_bar
+            and timings[q] >= 1.0
+        ]
+        if not dirty:
+            break
+        for name in dirty:
+            retried.append(name)
+            dt, n, share, build = _time_query(name)
+            if dt < timings[name]:
+                timings[name], extra[name + "_rows"] = dt, n
+                builds[name] = build
+            if share is not None:
+                # the share of the window the reported (min) timing most
+                # plausibly came from: storms only ever slow queries down
+                shares[name] = min(shares[name], share)
+    if g_u0 is not None:
+        try:
+            g_u1, g_s1 = _machine_cpu()
+            du, ds = g_u1 - g_u0, g_s1 - g_s0
+            extra["stime_share"] = round(
+                ds / (du + ds) if du + ds > 0 else 0.0, 3
+            )
+        except OSError:
+            pass
+    extra["query_stime_shares"] = shares
+    if retried:
+        extra["storm_retried"] = sorted(set(retried))
+
+    # build-vs-read split for the eager-construction queries: the
+    # headline number still times the full invocation (construction is
+    # part of the contract), but the split makes round-over-round
+    # comparisons compare like with like
+    for name, b in builds.items():
+        if b is not None and timings.get(name) is not None:
+            extra[name + "_build_sec"] = b
+            extra[name + "_read_sec"] = round(max(0.0, timings[name] - b), 3)
+
+    # writer-only turtle timing: serialize_rt_turtle's headline number is
+    # ~half verification reparse (harness, not product); this isolates
+    # the serializer stage itself so writer regressions are visible
+    if "serialize_rt_turtle" in headline:
+        try:
+            from raptor_spark.operators.serialize import serialize_bytes
+            from raptor_spark.sources.transcripts import materialize_graph
+
+            gt = spark.read.parquet(materialize_graph(spark, sf_dir))
+            wbest = None
+            for _ in range(repeats):
+                t0 = time.time()
+                serialize_bytes(gt, fmt="turtle").count()
+                dt = time.time() - t0
+                wbest = dt if wbest is None else min(wbest, dt)
+            extra["serialize_rt_turtle_write_sec"] = round(wbest, 3)
+        except Exception:
+            pass
 
     try:
         extra["loadavg_end"] = float(open("/proc/loadavg").read().split()[0])

@@ -388,6 +388,33 @@ def rss10_roundtrip_stats(
     )
 
 
+def serialize_bytes(
+    triples: DataFrame, fmt: str = "turtle", group_col: str = "conv_id"
+) -> DataFrame:
+    """WRITER-ONLY stage: serialize each group in ``fmt`` and return
+    (group, n_bytes) — same shuffle + batched Arrow stage as
+    serialize_roundtrip_counts but WITHOUT the verification reparse.
+    The bench times this separately so serializer regressions are
+    visible apart from the (roughly equal-cost) roundtrip harness."""
+    writer = _RT_WRITERS[fmt]
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col],
+                    "n_bytes": [
+                        len(writer(_structs_to_triples(ts)).encode("utf-8"))
+                        for ts in pdf["ts"]
+                    ],
+                }
+            )
+
+    return _grouped_triples(triples, group_col).mapInPandas(
+        run, schema=f"{group_col} string, n_bytes long"
+    )
+
+
 def serialize_roundtrip_counts(
     triples: DataFrame, fmt: str = "trig", group_col: str = "conv_id"
 ) -> DataFrame:

@@ -1376,7 +1376,7 @@ _CC_MAX_ROUNDS = 24
 
 #: diagnostics of the last q_dedup_clusters run (bench surfaces these):
 #: rounds executed and whether the labeling converged before the cap.
-CLUSTER_STATS = {"rounds": 0, "converged": False}
+CLUSTER_STATS = {"rounds": 0, "converged": False, "build_sec": 0.0}
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,6 +1401,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the round cap is ever hit while labels still change (see
     _CC_MAX_ROUNDS), the labeling would be incomplete, so it raises
     instead of silently returning wrong cluster reps."""
+    import time as _time
+
+    _t0 = _time.time()
     pairs = _cascade_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
@@ -1459,6 +1462,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     CLUSTER_STATS["rounds"] = rounds
     CLUSTER_STATS["converged"] = converged
+    # eager-construction cost (cascade edges + convergence rounds); the
+    # returned frame reads checkpointed labels, so bench splits this
+    # build time from the read time
+    CLUSTER_STATS["build_sec"] = round(_time.time() - _t0, 3)
     if not converged:
         raise RuntimeError(
             "dedup_clusters: labels still changing after %d rounds — "
