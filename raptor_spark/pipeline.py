@@ -83,6 +83,7 @@ def run_resumable(
     n_buckets: int = 64,
     base_uri_col: Optional[str] = None,
     entities: Optional[DataFrame] = None,
+    bucket_fn=None,
 ) -> DataFrame:
     """Resumable materialization: skip buckets already in the manifest,
     build the graph for the rest, write bucket-partitioned parquet +
@@ -101,7 +102,9 @@ def run_resumable(
     not once per job."""
     from pyspark.storagelevel import StorageLevel
 
-    todo = ckpt.filter_unfinished(spark, transcripts, out_dir, n_buckets)
+    todo = ckpt.filter_unfinished(
+        spark, transcripts, out_dir, n_buckets, bucket_fn=bucket_fn
+    )
     turns = todo.drop("bucket").persist(StorageLevel.MEMORY_AND_DISK)
     extra = ("tool",) + ((base_uri_col,) if base_uri_col else ())
     docs = reassemble(turns, extra_cols=extra)
@@ -117,14 +120,15 @@ def run_resumable(
 
             links = link_entities(turns, entities)
         manifest = ckpt.write_bucketed(
-            triples, errors, out_dir, n_buckets, turns=turns, links=links
+            triples, errors, out_dir, n_buckets, turns=turns, links=links,
+            bucket_fn=bucket_fn,
         )
         if entities is not None:
             from raptor_spark.operators.link import link_entities
 
             extra_rows = ckpt.link_catchup(
                 spark, transcripts, out_dir, n_buckets, entities,
-                link_fn=link_entities,
+                link_fn=link_entities, bucket_fn=bucket_fn,
             )
             if extra_rows is not None:
                 manifest = manifest.unionByName(extra_rows)

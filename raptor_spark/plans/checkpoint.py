@@ -19,10 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def with_bucket(df: DataFrame, n_buckets: int, col: str = "conv_id") -> DataFrame:
-    return df.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
-    )
+def with_bucket(
+    df: DataFrame, n_buckets: int, col: str = "conv_id", bucket_fn=None
+) -> DataFrame:
+    """Deterministic conv_id -> bucket assignment. Default is xxhash64
+    (cheap, JVM-side, well-mixed at 10^12 keys); ``bucket_fn(col_expr,
+    n_buckets) -> Column`` overrides it — e.g. an md5-derived bucket the
+    DuckDB oracle can reconstruct relationally (queries.resumable_manifest).
+    The resume machinery only needs determinism across runs."""
+    if bucket_fn is None:
+        expr = F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    else:
+        expr = bucket_fn(F.col(col), n_buckets)
+    return df.withColumn("bucket", expr)
 
 
 def finished_buckets(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
@@ -55,10 +64,14 @@ def finished_buckets(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
 
 
 def filter_unfinished(
-    spark: SparkSession, transcripts: DataFrame, out_dir: str, n_buckets: int
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_buckets: int,
+    bucket_fn=None,
 ) -> DataFrame:
     """Drop conversations whose bucket already has a manifest row."""
-    bucketed = with_bucket(transcripts, n_buckets)
+    bucketed = with_bucket(transcripts, n_buckets, bucket_fn=bucket_fn)
     done = finished_buckets(spark, out_dir)
     if done is None:
         return bucketed
@@ -75,6 +88,7 @@ def write_bucketed(
     n_buckets: int,
     turns: Optional[DataFrame] = None,
     links: Optional[DataFrame] = None,
+    bucket_fn=None,
 ) -> DataFrame:
     """Write triples/errors (and links, when given) partitioned by bucket
     + append manifest rows.
@@ -85,8 +99,8 @@ def write_bucketed(
     bucket); ``links`` is the (conv_id, entity_uri, mentions) linking
     output, materialized under ``links/bucket=`` alongside the triples.
     """
-    t = with_bucket(triples, n_buckets)
-    e = with_bucket(errors, n_buckets)
+    t = with_bucket(triples, n_buckets, bucket_fn=bucket_fn)
+    e = with_bucket(errors, n_buckets, bucket_fn=bucket_fn)
     t.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out_dir, "triples")
     )
@@ -101,7 +115,9 @@ def write_bucketed(
     manifest = man_t.join(man_e, "bucket", "full")
     fill = ["convs", "triples", "errors"]
     if turns is not None:
-        man_u = with_bucket(turns.select("conv_id"), n_buckets).groupBy(
+        man_u = with_bucket(
+            turns.select("conv_id"), n_buckets, bucket_fn=bucket_fn
+        ).groupBy(
             "bucket"
         ).agg(F.count(F.lit(1)).alias("turns"))
         manifest = manifest.join(man_u, "bucket", "full")
@@ -111,7 +127,7 @@ def write_bucketed(
         # distinguishable from "bucket with zero turns"
         manifest = manifest.withColumn("turns", F.lit(None).cast("long"))
     if links is not None:
-        lk = with_bucket(links, n_buckets)
+        lk = with_bucket(links, n_buckets, bucket_fn=bucket_fn)
         lk.write.mode("append").partitionBy("bucket").parquet(
             os.path.join(out_dir, "links")
         )
@@ -146,6 +162,7 @@ def link_catchup(
     n_buckets: int,
     entities: DataFrame,
     link_fn,
+    bucket_fn=None,
 ) -> Optional[DataFrame]:
     """Linking-only pass for buckets finished by a prior run WITHOUT
     entity linking (resuming an out_dir first written without entities
@@ -161,10 +178,12 @@ def link_catchup(
     unlinked = fin.filter(~F.col("linked")).select("bucket")
     if not unlinked.take(1):
         return None
-    todo = with_bucket(transcripts, n_buckets).join(
+    todo = with_bucket(transcripts, n_buckets, bucket_fn=bucket_fn).join(
         F.broadcast(unlinked), "bucket", "left_semi"
     )
-    lk = with_bucket(link_fn(todo.drop("bucket"), entities), n_buckets)
+    lk = with_bucket(
+        link_fn(todo.drop("bucket"), entities), n_buckets, bucket_fn=bucket_fn
+    )
     lk.write.mode("append").partitionBy("bucket").parquet(
         os.path.join(out_dir, "links")
     )

@@ -200,6 +200,124 @@ _KG_ERRORS_ORACLE = (
 )
 
 
+_RESUME_BUCKETS = 8
+
+
+def _md5_bucket(col, n):
+    """conv_id -> bucket via the first 4 md5 hex chars — the same
+    arithmetic DuckDB reproduces as
+    CAST(concat('0x', substr(md5(c),1,4)) AS BIGINT) % n."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long"), F.lit(n)
+    ).cast("int")
+
+
+def q_resumable_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule lineage counters through the ACTUAL resumable path
+    (pipeline.run_resumable + plans/checkpoint): run 1 materializes a
+    deterministic half of the buckets WITHOUT entity linking (an
+    interrupted job), run 2 resumes over the full input WITH the
+    customer-entity dictionary — the resume skips the finished buckets,
+    completes the rest, and the linking catch-up pass back-fills link
+    decisions for the half finished without them. Returns the per-bucket
+    counters (convs, turns parsed, triples emitted, parse errors, link
+    decisions) merged across manifest generations exactly as a
+    monitoring job reads them.
+
+    Bucketing uses the md5-derived key (rather than the default
+    xxhash64, which DuckDB cannot evaluate) so the oracle reconstructs
+    the same partitioning relationally; the resume machinery is
+    identical either way. The out_dir is a fresh temp dir per invocation
+    (resume state is the thing under test), deleted after the counters
+    are checkpointed."""
+    import shutil
+    import tempfile
+
+    from raptor_spark.operators.link import customer_entities
+    from raptor_spark.pipeline import run_resumable
+    from raptor_spark.sources.transcripts import tpch_transcripts
+
+    out = tempfile.mkdtemp(prefix="rsp_resume_q_")
+    try:
+        transcripts = tpch_transcripts(spark, sf_dir)
+        nb = _RESUME_BUCKETS
+        half = transcripts.filter(
+            _md5_bucket(F.col("conv_id"), nb) < nb // 2
+        )
+        run_resumable(spark, half, out, n_buckets=nb, bucket_fn=_md5_bucket)
+        run_resumable(
+            spark, transcripts, out, n_buckets=nb,
+            entities=customer_entities(spark, sf_dir),
+            bucket_fn=_md5_bucket,
+        )
+        manifest = spark.read.option("mergeSchema", "true").parquet(
+            f"{out}/manifest"
+        )
+        # per-bucket merge across generations: run-1 rows carry the parse
+        # counters (link_decisions null), the catch-up rows carry
+        # link_decisions (other counters null) — max() over the bucket's
+        # rows recovers the complete record
+        return (
+            manifest.groupBy("bucket")
+            .agg(
+                F.max("convs").cast("long").alias("convs"),
+                F.max("turns").cast("long").alias("turns"),
+                F.max("triples").cast("long").alias("triples"),
+                F.max("errors").cast("long").alias("errors"),
+                F.max("link_decisions").cast("long").alias("link_decisions"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+_RESUMABLE_MANIFEST_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey AS k, COUNT(*) AS n_li FROM lineitem GROUP BY l_orderkey
+),
+conv AS (
+  SELECT 'ord-' || o_orderkey AS conv_id,
+         o_orderkey % 10 AS b,
+         o_orderkey % 5 + 1 AS chunk,
+         COALESCE(li.n_li, 0) AS n_li,
+         o_custkey
+  FROM orders LEFT JOIN li ON li.k = o_orderkey
+),
+-- synthesis line counts per syntax (sources/transcripts.py): ntriples/
+-- nquads = 3 header + 3 per lineitem; rdfxml = 8 fixed + 2/li;
+-- json = 3 fixed; turtle = 5 + 2/li; trig = 7 + 2/li
+per_conv AS (
+  SELECT conv_id,
+         CAST(CAST(concat('0x', substr(md5(conv_id), 1, 4)) AS BIGINT) % 8
+              AS INTEGER) AS bucket,
+         CAST(ceil(CAST(CASE
+             WHEN b <= 3 OR b = 8 THEN 3 + 3 * n_li
+             WHEN b = 4 THEN 8 + 2 * n_li
+             WHEN b = 5 THEN 3
+             WHEN b IN (6, 7) THEN 5 + 2 * n_li
+             ELSE 7 + 2 * n_li
+           END AS DOUBLE) / chunk) AS BIGINT) AS n_turns,
+         3 + 3 * n_li AS n_triples,
+         o_custkey
+  FROM conv
+),
+links AS (
+  SELECT p.bucket, COUNT(*) AS link_decisions
+  FROM per_conv p JOIN customer c ON c.c_custkey = p.o_custkey
+  GROUP BY p.bucket
+)
+SELECT p.bucket,
+       CAST(COUNT(*) AS BIGINT) AS convs,
+       CAST(SUM(n_turns) AS BIGINT) AS turns,
+       CAST(SUM(n_triples) AS BIGINT) AS triples,
+       CAST(0 AS BIGINT) AS errors,
+       CAST(MAX(l.link_decisions) AS BIGINT) AS link_decisions
+FROM per_conv p LEFT JOIN links l ON l.bucket = p.bucket
+GROUP BY p.bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # raptor-shaped relational operators over the events/documents tables
 # --------------------------------------------------------------------------
@@ -2634,6 +2752,7 @@ QUERIES = {
     "kg_pipeline_iceberg": q_kg_pipeline_iceberg,
     "kg_stream_incremental": q_kg_stream_incremental,
     "kg_parse_errors": q_kg_parse_errors,
+    "resumable_manifest": q_resumable_manifest,
     "reassemble_sessions": q_reassemble_sessions,
     "ordinal_members": q_ordinal_members,
     "collection_chain": q_collection_chain,
@@ -2684,6 +2803,7 @@ ORACLES = {
     "kg_pipeline_iceberg": _KG_ORACLE,
     "kg_stream_incremental": _KG_STREAM_ORACLE,
     "kg_parse_errors": _KG_ERRORS_ORACLE,
+    "resumable_manifest": _RESUMABLE_MANIFEST_ORACLE,
     "reassemble_sessions": _REASSEMBLE_ORACLE,
     "ordinal_members": _ORDINAL_ORACLE,
     "collection_chain": _CHAIN_ORACLE,
