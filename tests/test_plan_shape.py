@@ -183,3 +183,30 @@ def test_ann_assign_no_exchange(spark):  # noqa: F811
     # and it actually assigns every vector to some cell
     n = emb.count()
     assert assign.filter(F.col("cell").isNotNull()).count() == n
+
+
+def test_buffered_writer_single_shuffle_batched(spark):  # noqa: F811
+    """Buffered (whole-document) serializers are ONE shuffle (the
+    collect_list grouping) followed by a batched mapInPandas stage —
+    never a per-key applyInPandas (FlatMapGroupsInPandas): at 150k
+    conversations the per-key pandas-frame + call overhead measured ~8x
+    the writer-kernel cost."""
+    from raptor_spark.operators.serialize import (
+        serialize_bytes,
+        serialize_roundtrip_counts,
+    )
+    from raptor_spark.sources.transcripts import materialize_graph
+
+    triples = spark.read.parquet(
+        materialize_graph(spark, "/root/testdata/sf0.001")
+    )
+    for df in (
+        serialize_roundtrip_counts(triples, fmt="turtle"),
+        serialize_bytes(triples, fmt="turtle"),
+    ):
+        plan = _formatted_plan(df)
+        assert _n_exchanges(plan) == 1, plan
+        assert "FlatMapGroupsInPandas" not in plan, plan
+        import re
+
+        assert len(set(re.findall(r"\(\d+\) MapInPandas", plan))) == 1, plan
