@@ -556,20 +556,34 @@ def run_scaling(sf_dir: str) -> dict:
     # noise swings whole sessions; one contaminated median should never
     # silently replace the history)
     history = []
+    rep_history = []
     try:
         import re as _re
 
-        m = _re.search(r"Session-median history: \[([^\]]*)\]",
-                       open(md_path).read())
+        _old_md = open(md_path).read()
+        m = _re.search(r"Session-median history: \[([^\]]*)\]", _old_md)
         if m and m.group(1).strip():
             history = [float(x) for x in m.group(1).split(",")]
+        m = _re.search(
+            r"Replicated-session history[^:]*:\n([^\n]+)", _old_md
+        )
+        if m:
+            rep_history = [
+                e.strip() for e in m.group(1).split(";") if e.strip()
+            ]
     except (OSError, ValueError):
         pass
     if _scale_replicate == 1:
         # replicated-input sessions measure a different (larger) job —
         # keep the cross-session history a single comparable series
         history.append(round(eff, 3))
+    else:
+        rep_history.append(
+            "%.3f (%d/%d clean)"
+            % (eff, sum(1 for p in pairs if p[6]), len(pairs))
+        )
     best = max(history) if history else round(eff, 3)
+    n_clean = sum(1 for p in pairs if p[6])
     with open(md_path, "w") as fh:
         fh.write(
             "# Scaling-efficiency evidence (north rule: N -> 4N >= 0.8)\n\n"
@@ -648,6 +662,23 @@ def run_scaling(sf_dir: str) -> dict:
             "of the history (quiet-host sessions), not the minimum.\n"
             f"Session-median history: {history}\n"
             f"(best quiet-host median: {best})\n"
+            + (
+                "\nReplicated-session history (median eff, clean/total "
+                "rounds — a 0-clean session's median falls back to all "
+                "rounds and earlier clean-protocol sessions remain the "
+                "stronger evidence):\n" + "; ".join(rep_history) + "\n"
+                if rep_history
+                else ""
+            )
+            + (
+                "\nNOTE: this session had ZERO storm-free rounds (the "
+                "host's kernel-time share stayed above the bar for the "
+                "whole window), so the headline above is the all-rounds "
+                "median — prefer the latest clean-protocol session in "
+                "the replicated history when citing a number.\n"
+                if n_clean == 0
+                else ""
+            )
         )
     return result
 
