@@ -121,6 +121,31 @@ def guess_format(text: str) -> str:
     return "turtle"
 
 
+def rebalance_for_parse(
+    df: DataFrame, min_parallelism: Optional[int] = None
+) -> DataFrame:
+    """Round-robin repartition a Python-parse input up to the session's
+    core count when the scan planned fewer splits.
+
+    Parquet sizes scan splits by BYTES (spark.sql.files.maxPartitionBytes),
+    but a parse UDF costs orders of magnitude more CPU per byte than a
+    relational stage, so a small columnar input (one ~300KB file -> ONE
+    split) serializes the whole Arrow parse stage onto a single core no
+    matter how many the cluster has. Rebalancing is a one-pass shuffle of
+    the NARROW pre-synthesis columns — call this on the scan BEFORE
+    attaching/deriving wide payload columns, and only when the planned
+    partition count is actually below the target (a 100 TB input already
+    carries thousands of splits; repartitioning it would be a wasted
+    full-input exchange). ``df.repartition(n)`` with an explicit count is
+    exempt from AQE partition coalescing, so the advisory-size logic that
+    is right for relational stages cannot re-serialize this one."""
+    spark = df.sparkSession
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def parse_documents(
     docs: DataFrame,
     base_uri_col: Optional[str] = None,

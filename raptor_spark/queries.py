@@ -527,10 +527,22 @@ def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the per-document base, @prefix mappings, and @inlist
     rdf:first/rest/nil chains with the kernel's deterministic per-
     document bnode labels — all reconstructed relationally by the
-    oracle."""
-    from raptor_spark.operators.parse import parse_documents, triples_of
+    oracle.
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    The scan is rebalanced to the session's cores BEFORE the page
+    synthesis: customer.parquet is a few hundred KB, so byte-sized
+    split planning hands the whole Python parse stage to ONE task
+    (measured 5.3s -> 1.3s at sf0.1 local[32] when fixed); the
+    repartition shuffles only the narrow source columns."""
+    from raptor_spark.operators.parse import (
+        parse_documents,
+        rebalance_for_parse,
+        triples_of,
+    )
+
+    cust = rebalance_for_parse(
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+    )
     doc = F.format_string(
         '<!DOCTYPE html>\n<html xmlns="http://www.w3.org/1999/xhtml">\n'
         "<head><title>c</title></head>\n"
@@ -2241,8 +2253,11 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only stage (decode kernel stubbed deterministically; the oracle
     reconstructs the metadata from the payload's md5 derivation)."""
     from raptor_spark.functions.multimodal import decode_media, synth_media
+    from raptor_spark.operators.parse import rebalance_for_parse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = rebalance_for_parse(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return decode_media(synth_media(docs)).select(
         "doc_id", "media_type", "byte_len", "width", "height", "channels", "ok"
     )
@@ -2278,8 +2293,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sha256-derived stand-in for an embedding model), projected to
     scalar columns for exact oracle comparison."""
     from raptor_spark.functions.multimodal import extract_features, synth_media
+    from raptor_spark.operators.parse import rebalance_for_parse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = rebalance_for_parse(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     feats = extract_features(synth_media(docs))
     return feats.select(
         "doc_id",
@@ -2316,8 +2334,11 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: video payloads exploded to per-frame rows inside
     the Python stage (one row per 16-byte 'frame')."""
     from raptor_spark.functions.multimodal import sample_frames, synth_media
+    from raptor_spark.operators.parse import rebalance_for_parse
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = rebalance_for_parse(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     return sample_frames(synth_media(docs)).select("doc_id", "frame_offset")
 
 
