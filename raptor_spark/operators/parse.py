@@ -124,13 +124,14 @@ def guess_format(text: str) -> str:
 def rebalance_for_parse(
     df: DataFrame, min_parallelism: Optional[int] = None
 ) -> DataFrame:
-    """Round-robin repartition a Python-parse input up to the session's
-    core count when the scan planned fewer splits.
+    """Round-robin repartition a CPU-bound stage's input up to the
+    session's core count when the scan planned fewer splits.
 
     Parquet sizes scan splits by BYTES (spark.sql.files.maxPartitionBytes),
-    but a parse UDF costs orders of magnitude more CPU per byte than a
+    but a parse UDF — or a per-token JVM expansion like shingle explode +
+    minhash lanes — costs orders of magnitude more CPU per byte than a
     relational stage, so a small columnar input (one ~300KB file -> ONE
-    split) serializes the whole Arrow parse stage onto a single core no
+    split) serializes the whole stage onto a single core no
     matter how many the cluster has. Rebalancing is a one-pass shuffle of
     the NARROW pre-synthesis columns — call this on the scan BEFORE
     attaching/deriving wide payload columns, and only when the planned

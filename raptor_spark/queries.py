@@ -18,6 +18,10 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+
+from raptor_spark.operators.parse import (
+    rebalance_for_parse as _rebalance,  # CPU-bound-stage split fix
+)
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1312,7 +1316,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _LSH_BUCKET_CAP). Scale path for dedup: no O(n^2) pairs, the band
     join is the only shuffle, and the cap bounds the worst bucket's
     fan-out at corpus scale."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
@@ -1397,7 +1403,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (candidate pairs from shared shingles, never a cross join). Shingles
     with document frequency > _SHINGLE_DF_CAP are dropped first, which
     bounds the self-join's worst key at DF_CAP^2 rows."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     sh_all = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
@@ -1462,7 +1470,9 @@ def _cascade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a, doc_b, jaccard_x1000): MinHash-LSH
     candidates -> exact n-gram Jaccard >= 0.5. Shared by dedup_cascade
     and dedup_clusters."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
@@ -1685,7 +1695,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fingerprint is one aggregation pass (60 conditional sums with
     map-side combine); candidates come from an equi-join on block value,
     never an all-pairs comparison."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
@@ -2069,7 +2081,9 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/val/test split. Every stage is a column expression or an
     already-bucketed operator; the only driver-side work is the
     label-propagation round counter inside dedup_clusters."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
