@@ -22,6 +22,7 @@ Semantics follow the reference implementation (dajobe/raptor):
 
 from __future__ import annotations
 
+import re
 from typing import NamedTuple, Optional
 
 KIND_URI = 1
@@ -117,8 +118,19 @@ for _s in '<>"{}|^`':
 _URI_TABLE[0x5C] = "\\\\"
 
 
+# Fast-path guards: one C-level regex scan decides "no escaping needed"
+# (the overwhelmingly common case for minted URIs / clean text), else we
+# fall back to the full per-character scanner. STRICT SUBSET rule: the
+# character classes below are exactly the complement of what the tables
+# rewrite, so the fast path can only ever return the input unchanged.
+_LIT_NEEDS_ESCAPE = re.compile(r'[^\x20-\x7E]|["\\]')
+_URI_NEEDS_ESCAPE = re.compile(r'[^\x21-\x7F]|[<>"{}|^`\\]')
+
+
 def escape_nt_literal(s: str) -> str:
     """Escape a literal body for N-Triples output (reference rules above)."""
+    if _LIT_NEEDS_ESCAPE.search(s) is None:
+        return s
     out = []
     for ch in s:
         cp = ord(ch)
@@ -132,6 +144,8 @@ def escape_nt_literal(s: str) -> str:
 
 def escape_nt_uri(s: str) -> str:
     """Escape a URI body for N-Triples output (SPARQL URI escape set)."""
+    if _URI_NEEDS_ESCAPE.search(s) is None:
+        return s
     out = []
     for ch in s:
         cp = ord(ch)
