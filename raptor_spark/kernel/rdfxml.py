@@ -168,22 +168,30 @@ def _tolerant_rewrite(data) -> Optional[str]:
     nothing needed fixing (so previously-rejected documents keep their
     original errors) or when the document is not XML-1.0-well-formed.
 
-    Also returns None when the document already CONTAINS the sentinel
-    strings (a real attribute named ``rsp.emptyP.x`` would otherwise be
-    mis-resolved as an empty-prefix attribute after an unrelated
-    rewrite), and bails on an ill-formed ``xmlns:`` attribute (renaming
-    it would silently turn it into a live namespace declaration for the
-    sentinel prefix — the reference rejects such documents)."""
-    probe = data.decode("utf-8", "ignore") if isinstance(data, bytes) else data
-    if _EMPTY_PREFIX in probe or _EMPTY_LOCAL in probe:
-        return None
+    Also bails when an actual element/attribute Name observed during
+    the walk already CONTAINS a sentinel string (a real attribute named
+    ``rsp.emptyP.x`` would otherwise be mis-resolved as an empty-prefix
+    attribute after an unrelated rewrite) — names only, so a document
+    that merely MENTIONS the sentinels in text content or a comment is
+    still repairable — and on an ill-formed ``xmlns:`` attribute
+    (renaming it would silently turn it into a live namespace
+    declaration for the sentinel prefix — the reference rejects such
+    documents)."""
     p = xml.parsers.expat.ParserCreate()
     p.ordered_attributes = True
     out: List[str] = []
     fixed = [False]
     scopes: List[dict] = [{}]
 
+    def check_name(name: str) -> str:
+        # sentinel collision in a REAL Name (element or attribute):
+        # the rewrite's output could not be disambiguated downstream
+        if _EMPTY_PREFIX in name or _EMPTY_LOCAL in name:
+            raise _RewriteBail()
+        return name
+
     def fix_attr_name(name: str) -> str:
+        check_name(name)
         if name.startswith(":"):
             fixed[0] = True
             return _EMPTY_PREFIX + name[1:]
@@ -197,6 +205,7 @@ def _tolerant_rewrite(data) -> Optional[str]:
         return name
 
     def fix_elem_name(name: str) -> str:
+        check_name(name)
         if name.startswith(":"):
             fixed[0] = True
             return name[1:]

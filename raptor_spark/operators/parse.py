@@ -36,12 +36,42 @@ TRIPLES_SCHEMA = (
 
 
 def parse_one(
-    text: str, fmt: str, base_uri: Optional[str] = None
+    text: str,
+    fmt: str,
+    base_uri: Optional[str] = None,
+    mime_type: Optional[str] = None,
+    identifier: Optional[str] = None,
 ):
     """Parse one document; returns (triples, errors). Format dispatch per
-    the reference's parser registry (plus 'guess' content sniffing)."""
+    the reference's parser registry, including its name ALIASES
+    ('ntriples-plus'/'n3' -> turtle, src/turtle_parser.y:1860; 'raptor'
+    -> rdfxml, src/raptor_rdfxml.c:3181). 'guess' scores MIME type and
+    identifier suffix ahead of content when either is supplied
+    (kernel.guess.guess_parser_name, the reference's
+    raptor_world_guess_parser_name); content-only rows fall back to
+    guess_format, which — like the reference's guess PARSER — always
+    routes to a workable kernel rather than failing on low scores."""
     if fmt == "guess":
-        fmt = guess_format(text)
+        if mime_type or identifier:
+            from raptor_spark.kernel.guess import guess_parser_name
+
+            fmt = guess_parser_name(
+                text, mime_type=mime_type, identifier=identifier
+            ) or guess_format(text)
+        else:
+            fmt = guess_format(text)
+    if fmt in ("rdfa", "rdfa10", "rdfa11"):
+        from raptor_spark.kernel import rdfa as _ra
+
+        # parser-name version pins per the reference's factory names
+        # (src/raptor_librdfa.c:78-83,352): "rdfa" sniffs the version
+        # from the document, "rdfa10"/"rdfa11" force it
+        version = {"rdfa": 0, "rdfa10": 10, "rdfa11": 11}[fmt]
+        return _ra.parse_document(text, base_uri=base_uri, version=version)
+    if fmt in ("ntriples-plus", "n3", "raptor"):
+        from raptor_spark.kernel.guess import ALIASES
+
+        fmt = ALIASES[fmt]
     if fmt == "ntriples":
         return _nt.parse_document(text, is_nquads=False)
     if fmt == "nquads":
@@ -62,14 +92,6 @@ def parse_one(
         from raptor_spark.kernel import rss as _rss
 
         return _rss.parse_document(text, base_uri=base_uri)
-    if fmt in ("rdfa", "rdfa10", "rdfa11"):
-        from raptor_spark.kernel import rdfa as _ra
-
-        # parser-name version pins per the reference's factory names
-        # (src/raptor_librdfa.c:78-83,352): "rdfa" sniffs the version
-        # from the document, "rdfa10"/"rdfa11" force it
-        version = {"rdfa": 0, "rdfa10": 10, "rdfa11": 11}[fmt]
-        return _ra.parse_document(text, base_uri=base_uri, version=version)
     return [], [{"line": 0, "message": "unknown format %r" % fmt}]
 
 

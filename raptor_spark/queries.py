@@ -155,12 +155,13 @@ def q_kg_stream_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         tpch_transcripts,
     )
     from raptor_spark.streaming.incremental import (
+        STREAM_VERSION,
         TRANSCRIPT_SCHEMA,
         stream_incremental_kg,
     )
 
-    base = "/tmp/raptor_spark_stream_v%s.%s_%s" % (
-        GEN_VERSION, GRAPH_VERSION, _sf_cache_key(sf_dir)
+    base = "/tmp/raptor_spark_stream_v%s.%s.%s_%s" % (
+        GEN_VERSION, GRAPH_VERSION, STREAM_VERSION, _sf_cache_key(sf_dir)
     )
     inp = f"{base}/in"
     out = f"{base}/out"
@@ -497,25 +498,118 @@ FROM documents
 
 
 def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Syntax-guess scoring (reference: src/raptor_guess.c:117-183) as a
-    when/otherwise classifier over content shape."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    body = F.col("props")
-    guess = (
-        F.when(F.ltrim(body).startswith("{"), F.lit("json"))
-        .when(body.rlike(r"^\s*<[^>]*>\s+<[^>]*>"), F.lit("ntriples"))
-        .when(body.rlike(r"(?m)^\s*@prefix"), F.lit("turtle"))
-        .otherwise(F.lit("unknown"))
+    """Full parser guessing — MIME type and identifier-suffix scoring
+    AHEAD of content sniffing (reference:
+    src/raptor_parse.c:1315-1466 raptor_world_guess_parser_name +
+    every per-parser recognise_syntax scorer; see kernel/guess.py).
+
+    Each event row is expanded (pure column expressions, JVM-side) into
+    one of 13 deterministic (content, mime_type, identifier) scenario
+    classes keyed by event_id %% 13 — high-Q media-type early break,
+    parameterized media type, suffix-beats-content, suffix refusal
+    rules, identifier-substring scoring, the reference's nquads-over-
+    ntriples content preference, and the below-MIN_GUESS_SCORE failure
+    case — then the REAL scorer runs in an Arrow-batched mapInPandas
+    stage. The oracle states the hand-derived expected winner per
+    class straight from the reference's C scoring rules."""
+    from raptor_spark.operators.parse import rebalance_for_parse
+
+    ev = rebalance_for_parse(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
     )
-    return ev.select("event_id", guess.alias("fmt"))
+    cls = F.pmod(F.col("event_id"), F.lit(13)).cast("int")
+    eid = F.col("event_id").cast("string")
+    nt = F.concat(
+        F.lit("<http://ex.org/s"), eid,
+        F.lit("> <http://ex.org/p> <http://ex.org/o> .\n<http://ex.org/s"),
+        eid, F.lit('> <http://ex.org/p> "v" .'),
+    )
+    ttl = F.concat(
+        F.lit(
+            "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> ."
+            "\n<http://ex.org/s"
+        ),
+        eid, F.lit('> rdf:value "v" .'),
+    )
+    html = F.lit("<html><body><p>no syntax signals here</p></body></html>")
+    rss_xml = F.lit(
+        '<?xml version="1.0"?><rss version="2.0"><channel/></rss>'
+    )
+    plain = F.concat(F.lit("hello plain text "), eid)
+    js = F.concat(F.lit('{"http://ex.org/s'), eid, F.lit('": {}}'))
+    n = F.lit(None).cast("string")
+
+    def pick(*vals):
+        c = F.when(cls == 0, vals[0])
+        for i, v in enumerate(vals[1:], 1):
+            c = c.when(cls == i, v)
+        return c
+
+    content = pick(ttl, nt, nt, nt, plain, plain, html, rss_xml, html, js,
+                   ttl, nt, plain)
+    mime = pick(
+        F.lit("application/rdf+xml"),          # q=10 early break
+        F.lit("text/turtle; charset=utf-8"),   # param stripped, q=10
+        n, n, n, n,
+        F.lit("application/xhtml+xml"),        # rdfa q=8, no break
+        n, n,
+        F.lit("application/json"),             # q=1 + suffix + content
+        n, n, n,
+    )
+    ident = pick(
+        n, n,
+        F.concat(F.lit("data/part-"), eid, F.lit(".nt")),
+        F.concat(F.lit("dump-"), eid, F.lit(".nq")),
+        F.lit("model.ttl"),
+        F.lit("graph.trig"),
+        n,
+        F.lit("posts/feed-rss2.xml"),
+        F.lit("profile-RDFa.html"),
+        F.lit("data.json"),
+        n, n, n,
+    )
+    src = ev.select(
+        "event_id",
+        content.alias("content"),
+        mime.alias("mime_type"),
+        ident.alias("identifier"),
+    )
+
+    def run(batches):
+        from raptor_spark.kernel.guess import guess_parser_name
+
+        for pdf in batches:
+            fmts = [
+                guess_parser_name(c, mime_type=m, identifier=i) or "unknown"
+                for c, m, i in zip(
+                    pdf["content"], pdf["mime_type"], pdf["identifier"]
+                )
+            ]
+            yield pd.DataFrame({"event_id": pdf["event_id"], "fmt": fmts})
+
+    return src.mapInPandas(run, schema="event_id bigint, fmt string")
 
 
+# expected winner per scenario class, hand-derived from the reference's
+# scoring rules (see q_format_guess's docstring): the oracle re-states
+# the REFERENCE behavior independently of kernel/guess.py
 _GUESS_ORACLE = """
 SELECT event_id,
-       CASE WHEN ltrim(props) LIKE '{%' THEN 'json'
-            WHEN regexp_matches(props, '^\\s*<[^>]*>\\s+<[^>]*>') THEN 'ntriples'
-            WHEN regexp_matches(props, '(?m)^\\s*@prefix') THEN 'turtle'
-            ELSE 'unknown' END AS fmt
+       CASE CAST(event_id % 13 AS INT)
+            WHEN 0 THEN 'rdfxml'        -- application/rdf+xml Q10 beats turtle content
+            WHEN 1 THEN 'turtle'        -- text/turtle;param Q10 beats ntriples content
+            WHEN 2 THEN 'ntriples'      -- .nt suffix; nquads refuses .nt-named content
+            WHEN 3 THEN 'nquads'        -- .nq suffix + content
+            WHEN 4 THEN 'turtle'        -- .ttl suffix alone (content plain)
+            WHEN 5 THEN 'trig'          -- .trig suffix alone
+            WHEN 6 THEN 'rdfa'          -- application/xhtml+xml Q8; rss blocked by 'html' in mime
+            WHEN 7 THEN 'rss-tag-soup'  -- .xml suffix + 'feed'/'rss2' identifier substrings
+            WHEN 8 THEN 'rdfa'          -- 'RDFa' in identifier scores 10
+            WHEN 9 THEN 'json'          -- .json suffix + json mime + '{' content
+            WHEN 10 THEN 'turtle'       -- @prefix + rdf-ns content markers
+            WHEN 11 THEN 'nquads'       -- bare NT content: reference prefers nquads (NT is a subset)
+            ELSE 'unknown'              -- no signal clears MIN_GUESS_SCORE
+       END AS fmt
 FROM events
 """
 

@@ -30,6 +30,13 @@ from typing import Any, Iterable, Iterator, Optional, Tuple
 
 import pandas as pd
 
+#: Versions the STREAMING semantics (gap logic, trigger/timeout rules,
+#: assembler behavior). Bump on any change here so cached drained
+#: outputs (queries.q_kg_stream_incremental keys its /tmp dir on this)
+#: are invalidated — GEN/GRAPH_VERSION only cover synthesis and the
+#: batch parse path, not this module.
+STREAM_VERSION = 1
+
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts timestamp"

@@ -41,6 +41,86 @@ def test_guess_routes_fixtures_to_a_working_parser():
     assert not fails, fails[:10]
 
 
+def test_guess_parser_name_scoring():
+    """raptor_world_guess_parser_name semantics
+    (src/raptor_parse.c:1315-1466): MIME and suffix score ahead of
+    content; high-Q media types end the scan; suffix refusal rules;
+    failure below RAPTOR_MIN_GUESS_SCORE."""
+    from raptor_spark.kernel.guess import _suffix_of, guess_parser_name
+
+    nt = '<http://a/s> <http://a/p> <http://a/o> .\n<http://a/s> <http://a/p> "v" .'
+    ttl = "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n<http://a/s> rdf:value 1 ."
+
+    # exact high-Q media type ends the scan, even against foreign content
+    assert guess_parser_name(ttl, mime_type="application/rdf+xml") == "rdfxml"
+    # ...with media-type parameters stripped (raptor_guess.c:94-105)
+    assert guess_parser_name(nt, mime_type="text/turtle; charset=utf-8") == "turtle"
+    assert guess_parser_name(nt, mime_type="text/x-nquads") == "nquads"
+    # suffix scoring; nquads explicitly refuses .nt-named content
+    # (src/ntriples_parse.c:741-745)
+    assert guess_parser_name(nt, identifier="part-0.nt") == "ntriples"
+    assert guess_parser_name(nt, identifier="dump.nq") == "nquads"
+    # suffix alone carries an unrecognizable body
+    assert guess_parser_name("plain text", identifier="m.ttl") == "turtle"
+    assert guess_parser_name("plain text", identifier="g.trig") == "trig"
+    assert guess_parser_name("plain", identifier="x.rdf") == "rdfxml"
+    # identifier substrings (librdfa scores 'RDFa' at 10,
+    # src/raptor_librdfa.c:334-338)
+    assert guess_parser_name("<html/>", identifier="my-RDFa.html") == "rdfa"
+    assert (
+        guess_parser_name("<?xml?>", identifier="posts/feed-rss2.xml")
+        == "rss-tag-soup"
+    )
+    # content-only: the reference prefers nquads over ntriples (subset
+    # rule, src/ntriples_parse.c:752-757) and turtle via @prefix
+    assert guess_parser_name(nt) == "nquads"
+    assert guess_parser_name(ttl) == "turtle"
+    # syntax-URI exact match ends the scan
+    assert (
+        guess_parser_name(None, uri="http://www.w3.org/ns/formats/Turtle")
+        == "turtle"
+    )
+    # no signal clears MIN_GUESS_SCORE -> None (reference returns NULL
+    # and the guess parser errors)
+    assert guess_parser_name("hello world") is None
+    # suffix extraction: '\\.[a-zA-Z0-9]+$' only, lowercased
+    assert _suffix_of("A/B.TTL") == "ttl"
+    assert _suffix_of("a.tar.gz") == "gz"
+    assert _suffix_of("noext") is None
+    assert _suffix_of("weird.t-t") is None
+    assert _suffix_of(None) is None
+
+
+def test_parser_name_aliases():
+    """The reference registers 'ntriples-plus' and 'n3' as turtle-family
+    names (src/turtle_parser.y:1860) and 'raptor' as an rdfxml name
+    (src/raptor_rdfxml.c:3181); parse_one must dispatch them."""
+    ttl = "@prefix ex: <http://e/> .\nex:a ex:b ex:c ."
+    for alias in ("n3", "ntriples-plus"):
+        triples, errs = parse_one(ttl, alias, "http://e/")
+        assert not errs and len(triples) == 1, (alias, errs)
+    rdf = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        '<rdf:Description rdf:about="http://e/x" rdf:value="v"/></rdf:RDF>'
+    )
+    triples, errs = parse_one(rdf, "raptor", "http://e/")
+    assert not errs and len(triples) == 1, errs
+
+
+def test_parse_one_guess_uses_mime_and_identifier():
+    """MIME/suffix signals must win over content sniffing when present
+    (the reference scores them first)."""
+    nt = "<http://a/s> <http://a/p> <http://a/o> ."
+    # content alone sniffs ntriples; a turtle mime must reroute
+    t, e = parse_one(nt, "guess", "http://e/", mime_type="text/turtle")
+    assert not e and len(t) == 1
+    t, e = parse_one(nt, "guess", "http://e/", identifier="data.nq")
+    assert not e and len(t) == 1
+    # unguessable signals fall back to content sniffing, never failing
+    t, e = parse_one(nt, "guess", "http://e/", identifier="noext")
+    assert not e and len(t) == 1
+
+
 def test_guess_basic_shapes():
     assert guess_format('<?xml version="1.0"?><rdf:RDF/>') == "rdfxml"
     assert guess_format('{"triples": []}') == "json"

@@ -145,6 +145,15 @@ def test_tolerant_rewrite_scope():
     # namespace declaration for the sentinel prefix
     assert _tolerant_rewrite(b'<doc xmlns:="http://x/" :p="v"/>') is None
 
+    # ...but a sentinel merely MENTIONED in text content or a comment is
+    # no collision (only real Names can be mis-resolved downstream):
+    # such a document stays repairable
+    out = _tolerant_rewrite(
+        b'<doc xmlns="http://x/" :p="v"><!-- rsp.emptyP. -->'
+        b"see rsp.emptyL in the docs</doc>"
+    )
+    assert out is not None and "rsp.emptyP.p" in out
+
     # a repaired-but-still-invalid document still errors through the
     # full parser (empty-prefix attr with NO default namespace in scope)
     triples, errs = RX.parse_document(
