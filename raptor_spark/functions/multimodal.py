@@ -52,27 +52,198 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_media_real(docs: DataFrame) -> DataFrame:
+    """Like synth_media, but image and audio rows carry REAL format
+    bytes built with pure column expressions, so _decode_real genuinely
+    parses containers instead of trusting synthetic metadata:
+
+    - image (doc_id %% 3 == 0): a binary P6 PPM — ASCII header
+      ``P6\\n{w} {h}\\n255\\n`` with w = doc_id %% 13 + 2,
+      h = doc_id %% 7 + 2, followed by w*h*3 pixel bytes derived from
+      repeat(md5(text)) (so pixels too are SQL-reconstructible);
+    - audio (doc_id %% 3 == 1): a real RIFF/WAVE file — 44-byte
+      canonical header (PCM, channels = doc_id %% 2 + 1, 8 kHz,
+      16-bit) + (doc_id %% 16 + 4) frames of md5-derived PCM data;
+    - video (doc_id %% 3 == 2): the opaque 64-byte payload (no real
+      container format is synthesizable without a codec; stays on the
+      stub path)."""
+    h = F.md5(F.col("text"))
+    kind = F.pmod(F.col("doc_id"), F.lit(3)).cast("int")
+    media_type = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        kind + 1,
+    )
+
+    # --- PPM: header string + w*h*3 pixel bytes --------------------------
+    w = (F.col("doc_id") % 13 + 2).cast("int")
+    hh = (F.col("doc_id") % 7 + 2).cast("int")
+    npx = w * hh * 3
+    ppm_header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), hh.cast("string"),
+        F.lit("\n255\n"),
+    )
+    # max npx = 14*8*3 = 336 bytes -> 672 hex chars; md5 is 32 -> 21 reps
+    pixels = F.unhex(F.substring(F.repeat(h, 21), 1, npx * 2))
+    ppm = F.concat(F.encode(ppm_header, "UTF-8"), pixels)
+
+    # --- WAV: canonical 44-byte PCM header + frames*channels*2 data ------
+    ch = (F.col("doc_id") % 2 + 1).cast("int")
+    frames = (F.col("doc_id") % 16 + 4).cast("int")
+    data_size = frames * ch * 2  # 16-bit samples; <= 76 bytes
+    # little-endian hex for values < 256 (data_size and 36+data_size both
+    # are): low byte + three zero bytes
+    le32 = lambda v: F.concat(
+        F.lpad(F.lower(F.hex(v)), 2, "0"), F.lit("000000")
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),               # "RIFF"
+        le32(data_size + 36),            # chunk size
+        F.lit("57415645"),               # "WAVE"
+        F.lit("666d7420"),               # "fmt "
+        F.lit("10000000"),               # fmt chunk size 16
+        F.lit("0100"),                   # PCM
+        F.when(ch == 1, F.lit("0100")).otherwise(F.lit("0200")),
+        F.lit("401f0000"),               # 8000 Hz
+        # byte rate = 8000 * ch * 2 = 16000 (0x3e80) or 32000 (0x7d00)
+        F.when(ch == 1, F.lit("803e0000")).otherwise(F.lit("007d0000")),
+        F.when(ch == 1, F.lit("0200")).otherwise(F.lit("0400")),  # align
+        F.lit("1000"),                   # 16 bits/sample
+        F.lit("64617461"),               # "data"
+        le32(data_size),
+        F.substring(F.repeat(h, 5), 1, data_size * 2),  # PCM samples
+    )
+    wav = F.unhex(wav_hex)
+
+    opaque = F.unhex(F.repeat(h, 4))
+    payload = (
+        F.when(kind == 0, ppm).when(kind == 1, wav).otherwise(opaque)
+    )
+    return docs.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.length(payload).cast("int").alias("byte_len"),
+    )
+
+
+def _parse_ppm(payload: bytes):
+    """Pure-Python P6 PPM decode: header tokens + pixel stats."""
+    if payload[:2] != b"P6":
+        return None
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> pixels
+    tokens, pos, tok = [], 2, b""
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        pos += 1
+        if c in b" \t\r\n":
+            if tok:
+                tokens.append(tok)
+                tok = b""
+        elif c == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        else:
+            tok += c
+    if len(tokens) < 3:
+        return None
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval <= 0 or maxval > 255:
+        return None
+    px = payload[pos:pos + width * height * 3]
+    if len(px) < width * height * 3:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "px_mean": sum(px) / len(px) if px else 0.0,
+        "px_min": min(px) if px else 0,
+        "px_max": max(px) if px else 0,
+    }
+
+
+def _parse_bmp(payload: bytes):
+    """Pure-Python BMP (BITMAPINFOHEADER) header decode."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 30:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    return {
+        "width": width,
+        "height": abs(height),
+        "channels": max(1, bpp // 8),
+    }
+
+
+def _parse_wav(payload: bytes):
+    """Pure-Python RIFF/WAVE decode: walks the chunk list for fmt and
+    data, returns frame count / sample rate / channel layout. Mapped to
+    the uniform decode schema as width = frames per channel,
+    height = sample rate in kHz, channels = channel count."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(payload)
+    channels = rate = bits = None
+    data_len = None
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and size >= 16:
+            _fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
+            (bits,) = struct.unpack_from("<H", payload, body + 14)
+        elif cid == b"data":
+            data_len = min(size, n - body)
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if not channels or not rate or not bits or data_len is None:
+        return None
+    frames = data_len // (channels * (bits // 8))
+    return {
+        "width": frames,
+        "height": rate // 1000,
+        "channels": channels,
+    }
+
+
 def _decode_real(payload: bytes, media_type: str):
-    """The real-codec seam. Images decode through PIL when it is
-    importable (tests/test_multimodal.py carries a skip-marked
-    integration test for that path); audio/video would go through
-    soundfile / ffmpeg, which this container never ships, so those
-    remain clearly-marked stubs."""
+    """The real-codec seam — now with pure-Python decoders for the
+    uncompressed containers (P6 PPM and BMP headers + pixel stats, WAV
+    RIFF chunk walk), falling back to PIL for other image formats when
+    it is importable (tests/test_multimodal.py carries a skip-marked
+    integration test for that path). Video would go through ffmpeg,
+    which this container never ships, so it remains a clearly-marked
+    stub (decode_media(codec='auto') routes it to _decode_stub)."""
+    payload = bytes(payload)
     if media_type == "image":
+        meta = _parse_ppm(payload) or _parse_bmp(payload)
+        if meta:
+            return meta
         try:
             from PIL import Image
         except ImportError as e:
             raise NotImplementedError(
-                "image codec requested but PIL is not installed"
+                "image codec requested but payload is not PPM/BMP and "
+                "PIL is not installed"
             ) from e
         import io
 
-        with Image.open(io.BytesIO(bytes(payload))) as im:
+        with Image.open(io.BytesIO(payload)) as im:
             return {
                 "width": im.width,
                 "height": im.height,
                 "channels": len(im.getbands()),
             }
+    if media_type == "audio":
+        meta = _parse_wav(payload)
+        if meta:
+            return meta
+        raise NotImplementedError(
+            "audio codec requested but payload is not RIFF/WAVE"
+        )
     raise NotImplementedError(
         "no %s codec in this environment" % media_type
     )
@@ -91,14 +262,35 @@ def _decode_stub(payload: bytes, media_type: str):
     }
 
 
-def decode_media(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+def decode_media(
+    media: DataFrame,
+    use_real_codec: bool = False,
+    codec: str = None,
+) -> DataFrame:
     """binary payload -> typed metadata, one Arrow batch at a time.
+
+    ``codec``: 'stub' (default; header-derived fake), 'real' (raise on
+    media types with no codec), or 'auto' (real decode where a codec
+    exists — PPM/BMP/WAV pure-Python, PIL if importable — per-row stub
+    fallback where none does, e.g. video). ``use_real_codec=True`` is
+    the legacy spelling of codec='real'.
 
     The batch shape is the part that matters at 100 TB: payloads never
     leave the executor, the stage is map-only (no shuffle), and the
     output drops the binary column so downstream stages shuffle only
     metadata."""
-    decode = _decode_real if use_real_codec else _decode_stub
+    codec = codec or ("real" if use_real_codec else "stub")
+    if codec == "stub":
+        decode = _decode_stub
+    elif codec == "real":
+        decode = _decode_real
+    else:
+
+        def decode(p, t):
+            try:
+                return _decode_real(p, t)
+            except NotImplementedError:
+                return _decode_stub(p, t)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

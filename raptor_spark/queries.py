@@ -2357,16 +2357,25 @@ FROM documents
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Opaque binary media column -> typed metadata via an Arrow-batched
-    map-only stage (decode kernel stubbed deterministically; the oracle
-    reconstructs the metadata from the payload's md5 derivation)."""
-    from raptor_spark.functions.multimodal import decode_media, synth_media
+    """Binary media column -> typed metadata via an Arrow-batched
+    map-only stage. Image rows carry REAL P6 PPM bytes and audio rows
+    REAL RIFF/WAVE bytes (functions.multimodal.synth_media_real), and
+    the codec='auto' decode genuinely parses those containers with the
+    pure-Python PPM/WAV decoders (_parse_ppm / _parse_wav); video rows
+    have no synthesizable container and take the documented stub path.
+    The oracle reconstructs every field from the same deterministic
+    derivations (PPM dims / WAV frame layout from doc_id arithmetic,
+    video metadata from the payload's md5 bytes)."""
+    from raptor_spark.functions.multimodal import (
+        decode_media,
+        synth_media_real,
+    )
     from raptor_spark.operators.parse import rebalance_for_parse
 
     docs = rebalance_for_parse(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
-    return decode_media(synth_media(docs)).select(
+    return decode_media(synth_media_real(docs), codec="auto").select(
         "doc_id", "media_type", "byte_len", "width", "height", "channels", "ok"
     )
 
@@ -2374,23 +2383,35 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_DECODE_ORACLE = """
 WITH m AS (
   SELECT doc_id, md5(text) AS h,
-         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-              WHEN 1 THEN 'audio' ELSE 'video' END AS media_type
+         CAST(doc_id % 3 AS INT) AS kind,
+         CAST(doc_id % 13 + 2 AS INT) AS w,
+         CAST(doc_id % 7 + 2 AS INT) AS hh,
+         CAST(doc_id % 2 + 1 AS INT) AS ch,
+         CAST(doc_id % 16 + 4 AS INT) AS frames
   FROM documents
 ),
 b AS (
-  SELECT doc_id, media_type,
+  SELECT *,
+         CASE kind WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
          (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
            + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
          (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
            + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1
   FROM m
 )
-SELECT doc_id, media_type, CAST(64 AS INT) AS byte_len,
-       CAST(b0 % 64 + 1 AS INT) AS width,
-       CAST(b1 % 64 + 1 AS INT) AS height,
-       CAST(CASE media_type WHEN 'audio' THEN 1 ELSE 3 END AS INT)
-           AS channels,
+SELECT doc_id, media_type,
+       CAST(CASE kind
+            WHEN 0 THEN length('P6' || chr(10) || w || ' ' || hh
+                              || chr(10) || '255' || chr(10)) + w*hh*3
+            WHEN 1 THEN 44 + frames*ch*2
+            ELSE 64 END AS INT) AS byte_len,
+       CAST(CASE kind WHEN 0 THEN w WHEN 1 THEN frames
+            ELSE b0 % 64 + 1 END AS INT) AS width,
+       CAST(CASE kind WHEN 0 THEN hh WHEN 1 THEN 8
+            ELSE b1 % 64 + 1 END AS INT) AS height,
+       CAST(CASE kind WHEN 0 THEN 3 WHEN 1 THEN ch
+            ELSE 3 END AS INT) AS channels,
        TRUE AS ok
 FROM b
 """

@@ -73,6 +73,109 @@ def test_real_codec_pil_integration(spark):
     del PIL
 
 
+def test_parse_ppm_real_bytes():
+    # hand-built P6 with known pixels: 2x2, values 0..11
+    px = bytes(range(12))
+    meta = MM._parse_ppm(b"P6\n2 2\n255\n" + px)
+    assert (meta["width"], meta["height"], meta["channels"]) == (2, 2, 3)
+    assert meta["px_mean"] == sum(range(12)) / 12
+    assert (meta["px_min"], meta["px_max"]) == (0, 11)
+    # comments + arbitrary whitespace in the header are legal PPM
+    meta = MM._parse_ppm(b"P6 # comment\n 2\t2 # x\n255 " + px)
+    assert (meta["width"], meta["height"]) == (2, 2)
+    # truncated pixel data / wrong magic / bad maxval -> None
+    assert MM._parse_ppm(b"P6\n2 2\n255\n" + px[:-1]) is None
+    assert MM._parse_ppm(b"P5\n2 2\n255\n" + px) is None
+    assert MM._parse_ppm(b"P6\n2 2\n65535\n" + px) is None
+
+
+def test_parse_bmp_real_bytes():
+    import struct
+
+    hdr = b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+    hdr += struct.pack("<IiiHH", 40, 17, -9, 1, 24) + b"\x00" * 16
+    meta = MM._parse_bmp(hdr)
+    assert (meta["width"], meta["height"], meta["channels"]) == (17, 9, 3)
+    assert MM._parse_bmp(b"XX" + hdr[2:]) is None
+
+
+def test_parse_wav_real_bytes():
+    # build a real WAV with the stdlib wave module -> independent bytes
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(b"\x01\x02\x03\x04" * 7)  # 7 frames of 2ch 16-bit
+    w.close()
+    meta = MM._parse_wav(buf.getvalue())
+    assert meta == {"width": 7, "height": 8, "channels": 2}
+    assert MM._parse_wav(b"RIFFxxxxNOPE") is None
+
+
+def test_synth_media_real_decodes_for_real(spark):
+    """The Spark-built PPM/WAV payloads are REAL container bytes: the
+    pure-Python decoders parse them, the stdlib wave module agrees on
+    the WAV fields, and decoded dims equal the synthesis arithmetic."""
+    import io
+    import wave
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = MM.synth_media_real(docs).collect()
+    assert rows
+    kinds = {r.media_type for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    for r in rows:
+        p = bytes(r.payload)
+        assert r.byte_len == len(p)
+        if r.media_type == "image":
+            meta = MM._parse_ppm(p)
+            assert meta is not None
+            assert meta["width"] == r.doc_id % 13 + 2
+            assert meta["height"] == r.doc_id % 7 + 2
+            # pixel stats come from the actual md5-derived bytes
+            body = p[p.index(b"255\n") + 4:]
+            assert meta["px_mean"] == sum(body) / len(body)
+        elif r.media_type == "audio":
+            meta = MM._parse_wav(p)
+            assert meta is not None
+            assert meta["width"] == r.doc_id % 16 + 4
+            assert meta["channels"] == r.doc_id % 2 + 1
+            wf = wave.open(io.BytesIO(p))
+            assert wf.getnframes() == meta["width"]
+            assert wf.getnchannels() == meta["channels"]
+            assert wf.getframerate() == 8000
+            assert wf.getsampwidth() == 2
+        else:
+            assert len(p) == 64
+
+
+def test_decode_media_auto_mixes_real_and_stub(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = MM.synth_media_real(docs)
+    out = {r.doc_id: r for r in MM.decode_media(media, codec="auto").collect()}
+    assert out and all(r.ok for r in out.values())
+    for doc_id, r in out.items():
+        if r.media_type == "image":
+            assert (r.width, r.height, r.channels) == (
+                doc_id % 13 + 2, doc_id % 7 + 2, 3
+            )
+        elif r.media_type == "audio":
+            assert (r.width, r.height, r.channels) == (
+                doc_id % 16 + 4, 8, doc_id % 2 + 1
+            )
+    # codec='real' must NOT silently fall back for video
+    vid = media.filter("media_type = 'video'")
+    with pytest.raises(Exception) as ei:
+        MM.decode_media(vid, codec="real").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
 def test_feature_shape(media):
     rows = MM.extract_features(media).limit(10).collect()
     for r in rows:
