@@ -1350,6 +1350,19 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     cost of the operator. The window count is over the (band, mh)
     partitioning the pair join reuses, so the cap adds no extra
     exchange."""
+    bands = _minhash_bands_uncapped(sh)
+    w = Window.partitionBy("band", "mh")
+    return (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= _LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
+
+
+def _minhash_bands_uncapped(sh: DataFrame) -> DataFrame:
+    """The band signatures BEFORE the bucket cap — split out so the cap
+    diagnostics (tools/capstress.py) can histogram raw bucket sizes with
+    exactly the production signature pipeline."""
     nsig = _LSH_BANDS * _LSH_ROWS
     base = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
@@ -1362,7 +1375,7 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
     agg = proj.groupBy("doc_id").agg(
         *[F.min(lane(i)).alias("m%d" % i) for i in range(nsig)]
     )
-    bands = agg.select(
+    return agg.select(
         "doc_id",
         F.explode(
             F.array(
@@ -1379,12 +1392,6 @@ def _minhash_bands(sh: DataFrame) -> DataFrame:
             )
         ).alias("bm"),
     ).select("doc_id", F.col("bm.band").alias("band"), F.col("bm.mh").alias("mh"))
-    w = Window.partitionBy("band", "mh")
-    return (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= _LSH_BUCKET_CAP)
-        .drop("bsz")
-    )
 
 
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
@@ -1923,6 +1930,18 @@ def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
     """(vec_id, e) -> (vec_id, tab, bucket): sign-bit keys per table,
     bucket-size cap applied on the (tab, bucket) partitioning the
     candidate join reuses."""
+    bucketed = _emb_lsh_buckets_uncapped(emb)
+    w = Window.partitionBy("tab", "bucket")
+    return (
+        bucketed.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("bsz") <= _EMB_BUCKET_CAP)
+        .drop("bsz")
+    )
+
+
+def _emb_lsh_buckets_uncapped(emb: DataFrame) -> DataFrame:
+    """Sign-bit bucket keys BEFORE the bucket cap (see
+    _emb_lsh_buckets; split out for the cap diagnostics)."""
     tabs = emb.select(
         "vec_id",
         F.explode(F.array(*[F.lit(t) for t in range(_EMB_TABLES)])).alias("tab"),
@@ -1934,13 +1953,7 @@ def _emb_lsh_buckets(emb: DataFrame) -> DataFrame:
             F.element_at(F.col("e"), F.col("tab") * _EMB_BITS + d + 1) > 0,
             F.lit(2**d),
         ).otherwise(F.lit(0))
-    bucketed = tabs.select("vec_id", "tab", key.cast("int").alias("bucket"))
-    w = Window.partitionBy("tab", "bucket")
-    return (
-        bucketed.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= _EMB_BUCKET_CAP)
-        .drop("bsz")
-    )
+    return tabs.select("vec_id", "tab", key.cast("int").alias("bucket"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
