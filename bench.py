@@ -56,6 +56,59 @@ HEADLINE = [
 
 WARMUP_DIR = "/root/testdata/sf0.001"
 
+#: Intrinsic (clean-host) machine stime share per query, calibrated in
+#: round 5 by bracketing query windows with pure-userspace burn probes
+#: on a proven-clean host (burns read 0.002-0.018 while e.g.
+#: dedup_jaccard's own window read 0.50-0.54 and its wall-clock sat at
+#: the historical minimum). The shuffle-heavy dedup/window queries
+#: INTRINSICALLY spend 40-60% of busy CPU in the kernel (shuffle spill
+#: + local-socket Arrow transfers + sort IO) — round 4's "dedup family
+#: still dirty" reading was this intrinsic profile, not hypervisor
+#: storms. A query's window is storm-suspect only when its share
+#: exceeds intrinsic + SPARK_GRAFT_QUERY_STORM (storms add 0.3-0.6
+#: absolute: kg_pipeline read 0.79-0.82 while 2-3x slow vs 0.14-0.17
+#: clean). Unlisted queries use 0.0 (pure CPU-bound profile).
+INTRINSIC_STIME = {
+    "kg_pipeline": 0.15,
+    "kg_pipeline_iceberg": 0.10,
+    "reassemble_sessions": 0.20,
+    "entity_link": 0.20,
+    "dedup_minhash": 0.42,
+    "dedup_jaccard": 0.55,
+    "dedup_simhash": 0.55,
+    "dedup_cascade": 0.42,
+    "dedup_clusters": 0.50,
+    "corpus_curate": 0.56,
+    "rdfa_extract": 0.10,
+    "embedding_topk": 0.12,
+    "ann_topk": 0.12,
+    "serialize_grouped": 0.13,
+    "serialize_ntriples": 0.12,
+    "serialize_rt_turtle": 0.15,
+}
+
+
+def _burn_share(secs: float = 1.5) -> float:
+    """Machine stime share during a pure-userspace spin — a host-state
+    snapshot. NOTE (round-5 finding): the hypervisor storms here are
+    LOAD-TRIGGERED — an idle-host burn reads clean seconds after a
+    0.79-share Spark window — so this cannot serve as a per-query storm
+    detector; it documents the window's ambient state only."""
+    import time as _t
+
+    def _cpu():
+        f = open("/proc/stat").readline().split()
+        return int(f[1]) + int(f[2]), int(f[3]) + int(f[6]) + int(f[7])
+
+    u0, s0 = _cpu()
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < secs:
+        x += 1
+    u1, s1 = _cpu()
+    du, ds = u1 - u0, s1 - s0
+    return round(ds / (du + ds) if du + ds > 0 else 0.0, 3)
+
 
 def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     from pyspark.sql import SparkSession
@@ -149,6 +202,7 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["loadavg_start"] = float(open("/proc/loadavg").read().split()[0])
     except OSError:
         pass
+    extra["host_burn_share_start"] = _burn_share()
 
     # storm signature (same detector the scaling mode uses per round):
     # machine-wide kernel-time share of busy CPU. Clean runs sit <10%;
@@ -212,23 +266,29 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         )
 
     # targeted storm retries: re-run ONLY the queries whose own window's
-    # kernel-time share crossed the clean bar, up to
-    # SPARK_GRAFT_STORM_RETRIES passes with a backoff sleep between
-    # passes (storms run for minutes; an immediate retry usually lands
-    # inside the same storm). Sub-second queries are exempt (few jiffies
-    # make the ratio noise, and a storm can only inflate them by
-    # fractions of a second). shares[name] always reports the share of
-    # the window the KEPT (min) timing came from — a cleaner-but-slower
-    # retry keeps the old timing AND its old dirty share, so the query
-    # stays flagged and eligible for the next pass.
-    storm_bar = float(os.environ.get("SPARK_GRAFT_QUERY_STORM", "0.15"))
+    # kernel-time share exceeded that query's INTRINSIC clean-host share
+    # (see INTRINSIC_STIME — shuffle-heavy queries legitimately run
+    # 0.4-0.6) by the storm margin, up to SPARK_GRAFT_STORM_RETRIES
+    # passes with a backoff sleep between passes (storms run for
+    # minutes; an immediate retry usually lands inside the same storm).
+    # Sub-second queries are exempt (few jiffies make the ratio noise,
+    # and a storm can only inflate them by fractions of a second).
+    # shares[name] always reports the share of the window the KEPT
+    # (min) timing came from — a cleaner-but-slower retry keeps the old
+    # timing AND its old dirty share, so the query stays flagged and
+    # eligible for the next pass.
+    storm_margin = float(os.environ.get("SPARK_GRAFT_QUERY_STORM", "0.15"))
+    bars = {
+        q: round(INTRINSIC_STIME.get(q, 0.0) + storm_margin, 3)
+        for q in headline
+    }
     backoff = float(os.environ.get("SPARK_GRAFT_STORM_BACKOFF", "30"))
     retried = []
     for _pass in range(int(os.environ.get("SPARK_GRAFT_STORM_RETRIES", "6"))):
         dirty = [
             q for q in headline
             if shares.get(q) is not None
-            and shares[q] >= storm_bar
+            and shares[q] >= bars[q]
             and timings[q] >= 1.0
         ]
         if not dirty:
@@ -253,6 +313,15 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         except OSError:
             pass
     extra["query_stime_shares"] = shares
+    extra["query_storm_bars"] = bars
+    extra["query_clean"] = {
+        q: bool(
+            shares.get(q) is None
+            or shares[q] < bars[q]
+            or timings[q] < 1.0
+        )
+        for q in headline
+    }
     if retried:
         extra["storm_retried"] = sorted(set(retried))
 
@@ -289,6 +358,7 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         extra["bench_repeats"] = repeats
     except OSError:
         pass
+    extra["host_burn_share_end"] = _burn_share()
     if "kg_pipeline_iceberg" in headline and os.path.isdir(WARMUP_DIR):
         # fixed per-job cost: the same flagship plan on a near-empty
         # input (sf0.001) isolates planning + AQE + stage scheduling +
