@@ -121,6 +121,31 @@ def test_parse_one_guess_uses_mime_and_identifier():
     assert not e and len(t) == 1
 
 
+def test_guess_parser_name_total():
+    """The scorer is a total function: any (text, mime, identifier)
+    combination returns a registered parser name or None, never raises
+    — at corpus scale a single pathological row must not kill an Arrow
+    batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from raptor_spark.kernel.guess import FACTORIES, guess_parser_name
+
+    names = {n for f in FACTORIES for n in f[0]}
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(max_size=300),
+        st.one_of(st.none(), st.text(max_size=60)),
+        st.one_of(st.none(), st.text(max_size=60)),
+    )
+    def run(text, mime, ident):
+        got = guess_parser_name(text, mime_type=mime, identifier=ident)
+        assert got is None or got in names
+
+    run()
+
+
 def test_guess_basic_shapes():
     assert guess_format('<?xml version="1.0"?><rdf:RDF/>') == "rdfxml"
     assert guess_format('{"triples": []}') == "json"

@@ -237,3 +237,22 @@ def test_parse_stage_rebalanced_to_cores(spark):  # noqa: F811
     # guard no-ops on an input that is already parallel enough
     pre = spark.range(0, 100, 1, 64)
     assert rebalance_for_parse(pre, min_parallelism=8) is pre
+
+
+def test_python_stage_queries_rebalanced_and_map_only(spark):  # noqa: F811
+    """The round-5 Python-stage queries (guess scorer, real-codec media
+    decode) inherit the same two rules as every Arrow stage: the narrow
+    scan is rebalanced to session parallelism (CPU-bound stage must not
+    ride one byte-sized split) and the Python stage itself is MAP-ONLY —
+    no exchange between the rebalance and the mapInPandas (scoring and
+    decoding are per-row; any extra shuffle would be pure waste at
+    100 TB)."""
+    from raptor_spark.queries import QUERIES
+
+    for name in ("format_guess", "media_decode"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = _formatted_plan(df)
+        assert "RoundRobinPartitioning" in plan, (name, plan)
+        # exactly ONE exchange in the whole plan: the rebalance itself
+        assert _n_exchanges(plan) == 1, (name, plan)
+        assert "MapInPandas" in plan, (name, plan)
