@@ -173,6 +173,8 @@ def parse_documents(
     docs: DataFrame,
     base_uri_col: Optional[str] = None,
     dedup_per_doc: bool = False,
+    mime_col: Optional[str] = None,
+    identifier_col: Optional[str] = None,
 ) -> DataFrame:
     """(conv_id, doc_text, tool[, base_uri]) -> triples/errors rows.
 
@@ -181,9 +183,19 @@ def parse_documents(
     reference's per-document duplicate check
     (src/raptor_abbrev.c:354-397) done where the whole document is
     already in hand, so graph materialization needs no dedup shuffle at
-    all."""
+    all.
+
+    ``mime_col``/``identifier_col`` feed rows whose ``tool`` is
+    'guess' through the full scorer (kernel.guess.guess_parser_name —
+    MIME and suffix ahead of content, like the reference's guess
+    parser, which receives Content-Type + identifier alongside the
+    bytes, src/raptor_guess.c:85-145)."""
     has_base = base_uri_col is not None and base_uri_col in docs.columns
+    has_mime = mime_col is not None and mime_col in docs.columns
+    has_ident = identifier_col is not None and identifier_col in docs.columns
     cols = ["conv_id", "doc_text", "tool"] + ([base_uri_col] if has_base else [])
+    cols += [mime_col] if has_mime else []
+    cols += [identifier_col] if has_ident else []
     src = docs.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -202,12 +214,20 @@ def parse_documents(
             text_a = pdf["doc_text"].tolist()
             tool_a = pdf["tool"].tolist()
             base_a = pdf[base_uri_col].tolist() if has_base else None
+            mime_a = pdf[mime_col].tolist() if has_mime else None
+            ident_a = pdf[identifier_col].tolist() if has_ident else None
             for i, (conv, text, fmt) in enumerate(
                 zip(conv_a, text_a, tool_a)
             ):
                 base = base_a[i] if base_a is not None else None
                 try:
-                    tl, errors = parse_one(text, fmt, base)
+                    tl, errors = parse_one(
+                        text, fmt, base,
+                        mime_type=mime_a[i] if mime_a is not None else None,
+                        identifier=(
+                            ident_a[i] if ident_a is not None else None
+                        ),
+                    )
                 except Exception as e:  # one bad doc must not kill a batch
                     tl, errors = [], [
                         {"line": 0, "message": "internal: %r" % e}

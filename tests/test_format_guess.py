@@ -121,6 +121,32 @@ def test_parse_one_guess_uses_mime_and_identifier():
     assert not e and len(t) == 1
 
 
+def test_parse_documents_guess_with_mime_and_identifier(spark):
+    """The distributed parse operator threads per-row MIME/identifier
+    signals into the guess path: the same NT-shaped content routes to
+    turtle by media type, nquads by suffix, and the content sniffer
+    when no signal exists — all inside one Arrow batch."""
+    from raptor_spark.operators.parse import parse_documents, triples_of
+
+    nt = "<http://a/s> <http://a/p> <http://a/o> ."
+    rows = [
+        ("c1", nt, "guess", "text/turtle", None),
+        ("c2", nt, "guess", None, "dump.nq"),
+        ("c3", nt, "guess", None, None),
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "conv_id string, doc_text string, tool string, "
+        "mime string, ident string",
+    )
+    parsed = parse_documents(docs, mime_col="mime", identifier_col="ident")
+    out = {r.conv_id: r for r in triples_of(parsed).collect()}
+    assert set(out) == {"c1", "c2", "c3"}
+    assert all(r.subj == "http://a/s" for r in out.values())
+    errs = parsed.filter("rec = 'e'").count()
+    assert errs == 0
+
+
 def test_guess_parser_name_total():
     """The scorer is a total function: any (text, mime, identifier)
     combination returns a registered parser name or None, never raises
