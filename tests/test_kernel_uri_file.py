@@ -110,3 +110,23 @@ def test_roundtrip_utf8():
 def test_normalize_leading_dotdot():
     assert normalize_path("/tmp/foo/../../../etc/hosts") == "/etc/hosts"
     assert normalize_path("/foo/../..") == "/.."  # bare trailing survives
+
+
+def test_issue70_regressions():
+    """The reference's committed bug-regression tests
+    (tests/bugs/issue70a.c, issue70b.c — integer underflow in
+    raptor_uri_normalize_path): the pathological base/reference pair
+    must resolve to the documented expected string, and the companion
+    N-Triples fragment must error cleanly, never crash."""
+    from raptor_spark.kernel import ntriples as NT
+    from raptor_spark.kernel.uri import resolve_uri
+
+    assert (
+        resolve_uri(
+            "http:o/www.w3.org/2001/sw/DataA#cess/df1.ttl",
+            ".&/../?D/../../1999/02/22-rdf-syntax-ns#",
+        )
+        == "http:?D/../../1999/02/22-rdf-syntax-ns#"
+    )
+    triples, errs = NT.parse_document("_:/exaple/o\n")
+    assert triples == [] and errs and errs[0]["line"] == 1
