@@ -3,12 +3,16 @@
 Large-scale training pipelines carry media as opaque ``binary`` columns
 plus typed metadata, and run decode / feature-extraction / resize /
 frame-sampling as Arrow-batched Python stages. This module implements
-that plumbing for real — schemas, partition-preserving ``mapInPandas``
-stages, deterministic batching — while the actual codecs are STUBBED
-(this container ships no image/audio libraries): ``_decode_stub`` derives
-deterministic pixel metadata from the payload header bytes, and the
-import-gated ``_decode_real`` raises NotImplementedError where PIL/ffmpeg
-would plug in.
+the plumbing for real — schemas, partition-preserving ``mapInPandas``
+stages, deterministic batching — and, since round 5, REAL decoding for
+the uncompressed containers: pure-Python P6 PPM and BMP header decoders
+with pixel stats, and a WAV RIFF chunk walker, behind the
+``_decode_real`` seam (PIL is the import-gated fallback for compressed
+images; video stays a clearly-marked NotImplementedError stub because
+no codec library ships in this container). ``synth_media_real`` builds
+genuine PPM/WAV payload bytes with column expressions so the decode
+path is codec-proven end-to-end while every field remains
+SQL-reconstructible; ``_decode_stub`` remains for opaque payloads.
 
 Everything here is deterministic and relationally reconstructible, so
 the DuckDB oracle can verify the full decode -> feature path bit-for-bit
