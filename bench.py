@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_clusters",
     "corpus_curate",
     "rdfa_extract",
+    "grddl_extract",
     "embedding_topk",
     "ann_topk",
     "serialize_grouped",
@@ -80,6 +81,7 @@ INTRINSIC_STIME = {
     "dedup_clusters": 0.50,
     "corpus_curate": 0.56,
     "rdfa_extract": 0.10,
+    "grddl_extract": 0.10,
     "embedding_topk": 0.12,
     "ann_topk": 0.12,
     "serialize_grouped": 0.13,

@@ -41,6 +41,7 @@ def parse_one(
     base_uri: Optional[str] = None,
     mime_type: Optional[str] = None,
     identifier: Optional[str] = None,
+    fetch=None,
 ):
     """Parse one document; returns (triples, errors). Format dispatch per
     the reference's parser registry, including its name ALIASES
@@ -68,6 +69,12 @@ def parse_one(
         # from the document, "rdfa10"/"rdfa11" force it
         version = {"rdfa": 0, "rdfa10": 10, "rdfa11": 11}[fmt]
         return _ra.parse_document(text, base_uri=base_uri, version=version)
+    if fmt == "grddl":
+        from raptor_spark.kernel import grddl as _gr
+
+        # ``fetch`` resolves the document's <link> hrefs; defaults to
+        # the strong-noNet local-file fetcher (kernel/grddl.py)
+        return _gr.parse_document(text, base_uri=base_uri, fetch=fetch)
     if fmt in ("ntriples-plus", "n3", "raptor"):
         from raptor_spark.kernel.guess import ALIASES
 
@@ -175,6 +182,7 @@ def parse_documents(
     dedup_per_doc: bool = False,
     mime_col: Optional[str] = None,
     identifier_col: Optional[str] = None,
+    resources_col: Optional[str] = None,
 ) -> DataFrame:
     """(conv_id, doc_text, tool[, base_uri]) -> triples/errors rows.
 
@@ -189,13 +197,22 @@ def parse_documents(
     'guess' through the full scorer (kernel.guess.guess_parser_name —
     MIME and suffix ahead of content, like the reference's guess
     parser, which receives Content-Type + identifier alongside the
-    bytes, src/raptor_guess.c:85-145)."""
+    bytes, src/raptor_guess.c:85-145).
+
+    ``resources_col`` names a ``map<string,string>`` column of absolute
+    URI -> payload used to resolve 'grddl' rows' <link> hrefs — a
+    crawl-bundle layout (linked resources co-partitioned with their
+    page, WARC-style) that keeps GRDDL recursion map-only: no row ever
+    fetches outside its own bundle (the strong form of the reference's
+    noNet option, kernel/grddl.py)."""
     has_base = base_uri_col is not None and base_uri_col in docs.columns
     has_mime = mime_col is not None and mime_col in docs.columns
     has_ident = identifier_col is not None and identifier_col in docs.columns
+    has_res = resources_col is not None and resources_col in docs.columns
     cols = ["conv_id", "doc_text", "tool"] + ([base_uri_col] if has_base else [])
     cols += [mime_col] if has_mime else []
     cols += [identifier_col] if has_ident else []
+    cols += [resources_col] if has_res else []
     src = docs.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,10 +233,17 @@ def parse_documents(
             base_a = pdf[base_uri_col].tolist() if has_base else None
             mime_a = pdf[mime_col].tolist() if has_mime else None
             ident_a = pdf[identifier_col].tolist() if has_ident else None
+            res_a = pdf[resources_col].tolist() if has_res else None
             for i, (conv, text, fmt) in enumerate(
                 zip(conv_a, text_a, tool_a)
             ):
                 base = base_a[i] if base_a is not None else None
+                fetch = None
+                if res_a is not None and res_a[i] is not None:
+                    r = res_a[i]
+                    # Arrow map columns arrive as [(k, v), ...]
+                    bundle = r if isinstance(r, dict) else dict(r)
+                    fetch = bundle.get
                 try:
                     tl, errors = parse_one(
                         text, fmt, base,
@@ -227,6 +251,7 @@ def parse_documents(
                         identifier=(
                             ident_a[i] if ident_a is not None else None
                         ),
+                        fetch=fetch,
                     )
                 except Exception as e:  # one bad doc must not kill a batch
                     tl, errors = [], [

@@ -722,6 +722,110 @@ SELECT conv_id, '_:rdfa3',
 """
 
 
+def q_grddl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRDDL link-discovery end-to-end (reference: src/raptor_grddl.c
+    alternate-form links, the path tests/grddl exercises under noNet):
+    synthesize one crawl bundle per supplier — an XHTML page whose
+    <head> links three RDF resources by type="application/rdf+xml"
+    plus one unfetchable link and one non-RDF link — and route it
+    through the shared parse operator with a per-row resource map.
+
+    The bundle layout is the 100 TB shape: every linked resource is
+    co-partitioned with its page (WARC-style), so GRDDL recursion is a
+    pure map over rows — no per-link I/O, no shuffle, and the strong
+    form of the reference's noNet option (a URI outside the bundle is
+    recorded and skipped, covered here by missing.rdf). Linked docs
+    cross three kernels picked by the GUESS parser from the link URI
+    (.rdf -> rdfxml, .nt -> ntriples, .ttl -> turtle — the @type
+    attribute is deliberately ignored, raptor_grddl.c:1901), the .ttl
+    doc resolves relative URIs against ITS OWN URI (not the page's),
+    and blank labels continue across inner parses from one shared
+    counter (genid1 from meta.rdf, genid2 from links.ttl)."""
+    from raptor_spark.operators.parse import (
+        parse_documents,
+        rebalance_for_parse,
+        triples_of,
+    )
+
+    sup = rebalance_for_parse(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    )
+    k = F.col("s_suppkey")
+    root = F.format_string("http://ex.org/crawl/%s/", k)
+    page = F.format_string(
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<html xmlns="http://www.w3.org/1999/xhtml">\n<head>\n'
+        "<title>s</title>\n"
+        '<link rel="meta" type="application/rdf+xml" href="meta.rdf"/>\n'
+        '<link rel="meta" type="application/rdf+xml" href="name.nt"/>\n'
+        '<link rel="meta" type="application/rdf+xml" href="links.ttl"/>\n'
+        '<link rel="meta" type="application/rdf+xml" href="missing.rdf"/>\n'
+        '<link rel="stylesheet" type="text/css" href="style.css"/>\n'
+        "</head>\n<body></body>\n</html>\n"
+    )
+    meta_rdf = F.format_string(
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        "<rdf:Description>\n  <rdf:value>%s</rdf:value>\n"
+        "</rdf:Description>\n</rdf:RDF>\n",
+        F.col("s_name"),
+    )
+    name_nt = F.format_string(
+        '<http://ex.org/s/%s> <http://ex.org/p/name> "%s" .\n',
+        k,
+        F.col("s_name"),
+    )
+    links_ttl = F.format_string(
+        "<> <http://ex.org/p/nation> <nations/%s> .\n"
+        '[] <http://ex.org/p/suppkey> "%s" .\n',
+        F.col("s_nationkey"),
+        k,
+    )
+    docs = sup.select(
+        F.format_string("sup-%s", k).alias("conv_id"),
+        page.alias("doc_text"),
+        F.lit("grddl").alias("tool"),
+        F.concat(root, F.lit("page.html")).alias("base_uri"),
+        F.create_map(
+            F.concat(root, F.lit("meta.rdf")), meta_rdf,
+            F.concat(root, F.lit("name.nt")), name_nt,
+            F.concat(root, F.lit("links.ttl")), links_ttl,
+        ).alias("resources"),
+    )
+    parsed = parse_documents(
+        docs, base_uri_col="base_uri", resources_col="resources"
+    )
+    return triples_of(parsed).select(
+        "conv_id", "subj", "pred", "obj_kind", "obj_lex",
+        "obj_datatype", "obj_lang",
+    )
+
+
+_GRDDL_ORACLE = """
+WITH s AS (
+  SELECT 'sup-' || s_suppkey AS conv_id,
+         CAST(s_suppkey AS VARCHAR) AS k,
+         CAST(s_nationkey AS VARCHAR) AS nk,
+         s_name,
+         'http://ex.org/crawl/' || s_suppkey || '/' AS root
+  FROM supplier
+)
+SELECT conv_id, '_:genid1' AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#value' AS pred,
+       2 AS obj_kind, s_name AS obj_lex,
+       NULL AS obj_datatype, NULL AS obj_lang FROM s
+UNION ALL
+SELECT conv_id, 'http://ex.org/s/' || k, 'http://ex.org/p/name', 2,
+       s_name, NULL, NULL FROM s
+UNION ALL
+SELECT conv_id, root || 'links.ttl', 'http://ex.org/p/nation', 1,
+       root || 'nations/' || nk, NULL, NULL FROM s
+UNION ALL
+SELECT conv_id, '_:genid2', 'http://ex.org/p/suppkey', 2, k,
+       NULL, NULL FROM s
+"""
+
+
 def _synth_feed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One RSS 2.0 feed document per nation (suppliers as items), built
     with pure column expressions including the in-feed document order."""
@@ -2924,6 +3028,7 @@ QUERIES = {
     "nt_escape_line": q_nt_escape_line,
     "format_guess": q_format_guess,
     "rdfa_extract": q_rdfa_extract,
+    "grddl_extract": q_grddl_extract,
     "feed_triples": q_feed_triples,
     "uri_mint": q_uri_mint,
     "file_uri_map": q_file_uri_map,
@@ -2975,6 +3080,7 @@ ORACLES = {
     "nt_escape_line": _NT_ESCAPE_ORACLE,
     "format_guess": _GUESS_ORACLE,
     "rdfa_extract": _RDFA_ORACLE,
+    "grddl_extract": _GRDDL_ORACLE,
     "feed_triples": _FEED_ORACLE,
     "uri_mint": _URI_MINT_ORACLE,
     "file_uri_map": _FILE_URI_ORACLE,

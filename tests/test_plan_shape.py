@@ -249,7 +249,7 @@ def test_python_stage_queries_rebalanced_and_map_only(spark):  # noqa: F811
     100 TB)."""
     from raptor_spark.queries import QUERIES
 
-    for name in ("format_guess", "media_decode"):
+    for name in ("format_guess", "media_decode", "grddl_extract"):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         plan = _formatted_plan(df)
         assert "RoundRobinPartitioning" in plan, (name, plan)
