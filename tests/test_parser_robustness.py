@@ -58,3 +58,33 @@ def test_rdfxml_tolerant_rewrite_never_raises(text):
 
     triples, errors = RX.parse_document(text, base_uri="http://base/")
     assert isinstance(triples, list) and isinstance(errors, list)
+
+
+_xhtml_parts = st.sampled_from(
+    [
+        '<html xmlns="http://www.w3.org/1999/xhtml">', "<head>", "</head>",
+        '<link type="application/rdf+xml" href="a.rdf"/>',
+        '<link type="application/rdf+xml" href="%GG"/>',
+        '<link type="application/rdf+xml" href=""/>',
+        '<link type="text/css" href="a.rdf"/>', "<link/>", "<body>",
+        "</body>", "</html>", "<p>", "text é中", "<!-- c -->", "&amp;",
+    ]
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(_xhtml_parts, max_size=10).map("".join),
+    st.binary(max_size=80),
+)
+def test_grddl_never_raises(doc, payload):
+    """GRDDL composes XML link discovery, URI resolution, the guess
+    scorer, an inner parse and bnode relabeling; whatever the document
+    or the fetched payload, it returns (triples, errors), never raises
+    (same contract as the reference's fuzz harness)."""
+    from raptor_spark.kernel import grddl as GR
+
+    triples, errors = GR.parse_document(
+        doc, base_uri="http://base/dir/x.html", fetch=lambda uri: payload
+    )
+    assert isinstance(triples, list) and isinstance(errors, list)
