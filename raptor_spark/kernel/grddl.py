@@ -112,7 +112,10 @@ def discover_links(
     parser.EndElementHandler = end
     try:
         parser.Parse(text, True)
-    except xml.parsers.expat.ExpatError as exc:
+    except (xml.parsers.expat.ExpatError, UnicodeEncodeError, ValueError) as exc:
+        # UnicodeEncodeError: expat re-encodes str input to UTF-8, so a
+        # lone surrogate is a parse failure, not a crash (same guard as
+        # kernel/rdfxml.py)
         return [], [
             {
                 "line": getattr(exc, "lineno", 0) or 0,

@@ -68,6 +68,7 @@ _xhtml_parts = st.sampled_from(
         '<link type="application/rdf+xml" href=""/>',
         '<link type="text/css" href="a.rdf"/>', "<link/>", "<body>",
         "</body>", "</html>", "<p>", "text é中", "<!-- c -->", "&amp;",
+        "\ud800", "\x00",
     ]
 )
 
