@@ -7,7 +7,10 @@ from hypothesis import strategies as st
 
 from raptor_spark.operators.parse import guess_format, parse_one
 
-FORMATS = ["ntriples", "nquads", "turtle", "trig", "rdfxml", "json", "guess"]
+FORMATS = [
+    "ntriples", "nquads", "turtle", "trig", "rdfxml", "json", "guess",
+    "rdfa", "rss-tag-soup", "grddl",
+]
 
 _fragments = st.sampled_from(
     [
