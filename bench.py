@@ -448,6 +448,18 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         m = _re.search(r"= (\d+\.\d+)\*\*", md)
         if m:
             extra["scaling_efficiency_md"] = float(m.group(1))
+        # the citable number: median over clean-protocol sessions (>=3
+        # storm-free rounds) in the replicated history — a single
+        # session's headline can be a host artifact in either direction
+        # (a 2-clean session has read 1.166 when the 2-core side carried
+        # residual contention), so the cross-session median over
+        # well-conditioned sessions is what BASELINE.md says to cite
+        sessions = _re.findall(r"(\d+\.\d+) \((\d+)/(\d+) clean\)", md)
+        clean = sorted(
+            float(e) for e, c, _t in sessions if int(c) >= 3
+        )
+        if clean:
+            extra["scaling_efficiency_citable"] = clean[len(clean) // 2]
     except OSError:
         pass
     spark.stop()
@@ -792,9 +804,11 @@ def main():
         print(json.dumps(result))
         return
     result = run_bench(sf_dir, cpus, headline)
-    # only full headline runs overwrite the persisted evidence (scaling
-    # subprocesses run single-query benches through this same entry)
-    if set(headline) == set(HEADLINE):
+    # only full headline runs AT THE EVIDENCE SCALE overwrite the
+    # persisted evidence (scaling subprocesses run single-query benches
+    # through this same entry; ad-hoc sf0.01 smoke runs must not clobber
+    # the committed sf0.1 window)
+    if set(headline) == set(HEADLINE) and result.get("sf") == 0.1:
         _persist(result, "plain")
     print(json.dumps(result))
 
