@@ -155,11 +155,13 @@ def test_guess_parser_name_total():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    from fuzzbudget import budget
+
     from raptor_spark.kernel.guess import FACTORIES, guess_parser_name
 
     names = {n for f in FACTORIES for n in f[0]}
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=budget(200), deadline=None)
     @given(
         st.text(max_size=300),
         st.one_of(st.none(), st.text(max_size=60)),

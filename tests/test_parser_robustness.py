@@ -3,6 +3,8 @@ tests/fuzz/fuzz_parser.c — same contract here: arbitrary input must
 produce triples and/or error records, never an uncaught exception)."""
 
 from hypothesis import given, settings
+
+from fuzzbudget import budget
 from hypothesis import strategies as st
 
 from raptor_spark.operators.parse import guess_format, parse_one
@@ -23,7 +25,7 @@ _fragments = st.sampled_from(
 _soup = st.lists(_fragments, max_size=24).map("".join)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=budget(120), deadline=None)
 @given(_soup, st.sampled_from(FORMATS))
 def test_parse_never_raises(text, fmt):
     triples, errors = parse_one(text, fmt, "http://base/")
@@ -32,7 +34,7 @@ def test_parse_never_raises(text, fmt):
         assert "message" in e
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=budget(60), deadline=None)
 @given(st.binary(max_size=200))
 def test_parse_random_bytes_never_raises(data):
     text = data.decode("utf-8", "surrogateescape")
@@ -51,7 +53,7 @@ _colon_parts = st.sampled_from(
 )
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=budget(120), deadline=None)
 @given(st.lists(_colon_parts, max_size=8).map("".join))
 def test_rdfxml_tolerant_rewrite_never_raises(text):
     """Colon-heavy near-XML exercises the namespace-ill-formedness
@@ -76,7 +78,7 @@ _xhtml_parts = st.sampled_from(
 )
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=budget(120), deadline=None)
 @given(
     st.lists(_xhtml_parts, max_size=10).map("".join),
     st.binary(max_size=80),

@@ -8,6 +8,8 @@ serialize-then-rdfdiff harness beyond its committed fixtures.
 """
 
 from hypothesis import given, settings
+
+from fuzzbudget import budget
 from hypothesis import strategies as st
 
 from raptor_spark.kernel import ntriples as NT
@@ -75,13 +77,13 @@ def _rt(ts, write, parse):
     assert graphs_isomorphic(a, b), out[:400]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=budget(60), deadline=None)
 @given(triples())
 def test_ntriples_roundtrip_property(ts):
     _rt(ts, S.to_ntriples, lambda o: NT.parse_document(o))
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=budget(60), deadline=None)
 @given(triples())
 def test_turtle_roundtrip_property(ts):
     _rt(
@@ -91,7 +93,7 @@ def test_turtle_roundtrip_property(ts):
     )
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=budget(40), deadline=None)
 @given(triples())
 def test_json_roundtrip_property(ts):
     _rt(ts, S.to_json, RJ.parse_document)
@@ -119,7 +121,7 @@ def _xml_safe(ts):
     return ok
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=budget(40), deadline=None)
 @given(triples())
 def test_rdfxml_roundtrip_property(ts):
     ts = _xml_safe(ts)

@@ -9,6 +9,8 @@ and its boundary mutations (dots in locals, escapes, lang tags,
 comments mid-statement, undeclared prefixes, trailing-dot decimals)."""
 
 from hypothesis import given, settings
+
+from fuzzbudget import budget
 from hypothesis import strategies as st
 
 import raptor_spark.kernel.turtle as T
@@ -66,7 +68,7 @@ def _docs(draw):
     return "".join(parts)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=budget(300), deadline=None)
 @given(_docs(), st.booleans())
 def test_fast_path_matches_grammar(doc, trig):
     if trig:
@@ -76,7 +78,7 @@ def test_fast_path_matches_grammar(doc, trig):
     assert fast[1] == slow[1]
 
 
-@settings(max_examples=200, deadline=None)
+@settings(max_examples=budget(200), deadline=None)
 @given(st.text(
     alphabet=st.sampled_from(list(
         "ex:sp<>\"_. ;\n\t@a1-\\u#{}[]()^'%é\U0001F600")),
