@@ -53,7 +53,7 @@ def build_graph(
     extra = ("tool",) + ((base_uri_col,) if base_uri_col else ())
     docs = reassemble(transcripts, extra_cols=extra)
     # per-document dedup happens inside the parse stage (the whole
-    # document is in hand there; mapInPandas reports UnknownPartitioning
+    # document is in hand there; the Arrow parse stage reports UnknownPartitioning
     # downstream, so a dropDuplicates here would re-shuffle every triple
     # even though the stream is already conv_id-clustered)
     parsed = parse_documents(
@@ -98,7 +98,7 @@ def run_resumable(
 
     The materialization fans into several write/aggregate jobs (triples,
     errors, links, manifest counters); the parse stage's output is
-    persisted for the duration so the mapInPandas parse UDF runs once,
+    persisted for the duration so the mapInArrow parse stage runs once,
     not once per job."""
     from pyspark.storagelevel import StorageLevel
 
