@@ -134,7 +134,7 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         .config("spark.sql.adaptive.enabled", "true")
     )
     if replicate > 1:
-        # The mapInPandas parse stage costs orders of magnitude more CPU
+        # The mapInArrow parse stage costs orders of magnitude more CPU
         # per shuffled byte than a relational stage, so AQE's default
         # 64m advisory partition size coalesces it into a couple of
         # ragged task waves per core (measured: 24s -> 20s at pinned
@@ -738,7 +738,7 @@ def run_scaling(sf_dir: str) -> dict:
             "same effect deployment input sizes have.\n\n"
             "Task granularity: shuffle partitions scale with the\n"
             "replicated input and the advisory AQE partition size is\n"
-            "lowered to 8m for replicated runs. The mapInPandas parse\n"
+            "lowered to 8m for replicated runs. The mapInArrow parse\n"
             "stage costs orders of magnitude more CPU per shuffled byte\n"
             "than a relational stage, so AQE's default 64m advisory\n"
             "coalesces it to ~2.4 task waves on the 8-core side (ragged\n"
