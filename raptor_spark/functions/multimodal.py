@@ -150,6 +150,10 @@ def _parse_ppm(payload: bytes):
             tok += c
     if len(tokens) < 3:
         return None
+    if not all(t.isdigit() for t in tokens):
+        # malformed header (non-numeric dims) is "not a PPM", not a
+        # decode crash — one bad payload must never kill an Arrow batch
+        return None
     width, height, maxval = (int(t) for t in tokens)
     if maxval <= 0 or maxval > 255:
         return None
@@ -197,13 +201,17 @@ def _parse_wav(payload: bytes):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
-        if cid == b"fmt " and size >= 16:
+        if cid == b"fmt " and size >= 16 and body + 16 <= n:
             _fmt, channels, rate = struct.unpack_from("<HHI", payload, body)
             (bits,) = struct.unpack_from("<H", payload, body + 14)
         elif cid == b"data":
             data_len = min(size, n - body)
         pos = body + size + (size & 1)  # chunks are word-aligned
     if not channels or not rate or not bits or data_len is None:
+        return None
+    if bits < 8:
+        # sub-byte sample widths (and a truncated fmt chunk, handled
+        # above) are "not a decodable WAV", not a decode crash
         return None
     frames = data_len // (channels * (bits // 8))
     return {

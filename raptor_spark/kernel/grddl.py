@@ -197,8 +197,19 @@ def parse_document(
         )
         # the reference recurses with the "guess" parser; the linked
         # URI is the identifier (suffix scoring), there is no MIME type
-        # for a local fetch
-        fmt = guess_parser_name(buf, identifier=uri) or "rdfxml"
+        # for a local fetch. A failed guess is a recorded error, NOT a
+        # forced-rdfxml retry (raptor_guess.c:136-140 raises
+        # "Failed to guess parser from content type" and parses nothing)
+        fmt = guess_parser_name(buf, identifier=uri)
+        if fmt is None:
+            errors.append(
+                {
+                    "line": 0,
+                    "message": "GRDDL <%s>: failed to guess parser "
+                    "from content type '(none)'" % uri,
+                }
+            )
+            continue
         # rdfxml gets the raw bytes so its encoding declaration is
         # honored; the text kernels take the decoded form
         payload = data if fmt in ("rdfxml", "raptor") else buf

@@ -46,14 +46,21 @@ FIRSTN = 1024
 def _suffix_of(identifier: Optional[str]) -> Optional[str]:
     """Extract the scoring suffix from a filename/URI identifier: the
     text after the LAST '.', kept only when it is entirely
-    [a-zA-Z0-9]+, lowercased (raptor_parse.c:1355-1380)."""
+    [a-zA-Z0-9]*, lowercased (raptor_parse.c:1355-1380).
+
+    A trailing dot yields the EMPTY string, not None: the reference
+    mallocs a suffix buffer before validating, so ``identifier = "x."``
+    produces an empty-but-non-NULL suffix that truthily enters every
+    ``if(suffix)`` scorer branch (matching nothing) and BLOCKS the
+    ``!suffix`` identifier-substring arms. Scorers therefore test
+    ``suffix is not None`` / ``suffix is None``, never truthiness."""
     if not identifier:
         return None
     dot = identifier.rfind(".")
     if dot < 0:
         return None
     suffix = identifier[dot + 1 :]
-    if not suffix or not all(c.isascii() and c.isalnum() for c in suffix):
+    if not all(c.isascii() and c.isalnum() for c in suffix):
         return None
     return suffix.lower()
 
@@ -65,7 +72,7 @@ def _suffix_of(identifier: Optional[str]) -> Optional[str]:
 def _score_ntriples(buf, identifier, suffix, mime) -> int:
     """src/ntriples_parse.c:595-670."""
     score = 0
-    if suffix:
+    if suffix is not None:
         if suffix == "nt":
             score = 8
         if suffix in ("ttl", "n3"):
@@ -97,7 +104,7 @@ def _score_nquads(buf, identifier, suffix, mime) -> int:
     """src/ntriples_parse.c:724-761 — N-Triples is a subset of N-Quads,
     so any positive N-Triples content score is outbid by one."""
     score = 0
-    if suffix:
+    if suffix is not None:
         if suffix == "nq":
             score = 2
         if suffix in ("nt", "ttl", "n3"):
@@ -160,7 +167,7 @@ _RDFXML_NS_MARKERS = (
 def _score_rdfxml(buf, identifier, suffix, mime) -> int:
     """src/raptor_rdfxml.c:1094-1168."""
     score = 0
-    if suffix:
+    if suffix is not None:
         if suffix in ("rdf", "rdfs", "foaf", "doap", "owl", "daml"):
             score = 9
         if suffix == "rss":
@@ -168,11 +175,11 @@ def _score_rdfxml(buf, identifier, suffix, mime) -> int:
     if identifier:
         if "rss1" in identifier:
             score += 5
-        elif not suffix and "rss" in identifier:
+        elif suffix is None and "rss" in identifier:
             score += 3
-        elif not suffix and "rdf" in identifier:
+        elif suffix is None and "rdf" in identifier:
             score += 2
-        elif not suffix and "RDF" in identifier:
+        elif suffix is None and "RDF" in identifier:
             score += 2
     if mime:
         if "html" in mime:
@@ -197,7 +204,7 @@ def _score_rdfxml(buf, identifier, suffix, mime) -> int:
 def _score_rss(buf, identifier, suffix, mime) -> int:
     """src/raptor_rss.c:1639-1688."""
     score = 0
-    if suffix:
+    if suffix is not None:
         if suffix == "rss":
             score = 7
         if suffix == "atom":
@@ -211,9 +218,9 @@ def _score_rss(buf, identifier, suffix, mime) -> int:
             score += 3
         if "rss2" in identifier:
             score += 5
-        elif not suffix and "rss" in identifier:
+        elif suffix is None and "rss" in identifier:
             score += 4
-        elif not suffix and "atom" in identifier:
+        elif suffix is None and "atom" in identifier:
             score += 4
         elif "rss.xml" in identifier:
             score += 4
@@ -247,7 +254,7 @@ def _score_json(buf, identifier, suffix, mime) -> int:
     """src/raptor_json.c:706-738 — identifier only consulted when the
     suffix is ABSENT (else-if chain)."""
     score = 0
-    if suffix:
+    if suffix is not None:
         if suffix == "json":
             score = 8
         if suffix == "js":
@@ -369,13 +376,31 @@ def guess_parser_name(
     if mime_type and ";" in mime_type:
         mime_type = mime_type.split(";", 1)[0].strip()
     suffix = _suffix_of(identifier)
-    buf = text[:FIRSTN] if text else None
+    if text:
+        # FIRSTN is a BYTE window (the reference truncates the raw
+        # buffer at buffer[1024]); slicing characters would scan
+        # further into multibyte content than the reference does. A
+        # partial trailing sequence can't match an ASCII marker, so
+        # dropping it ('ignore') is byte-window-equivalent.
+        raw = text.encode("utf-8", "surrogatepass")
+        buf = (
+            raw[:FIRSTN].decode("utf-8", "ignore")
+            if len(raw) > FIRSTN
+            else text
+        )
+    else:
+        buf = None
 
     scored = []
     for idx, (names, mimes, uris, recognise) in enumerate(FACTORIES):
         score = -1
-        if mime_type and mime_type in mimes:
-            score = mimes[mime_type]
+        if mime_type and mimes:
+            # the reference's type loop lands on the table's {NULL,0,0}
+            # sentinel when nothing matches, and `if(type_q) score =
+            # type_q->q` then assigns the sentinel's q — so a supplied
+            # mime_type scores 0 (not -1) against any factory with a
+            # type table, matched or not (raptor_parse.c:1389-1400)
+            score = mimes.get(mime_type, 0)
             if score >= 10:
                 # high-Q exact media-type match ends the scan
                 return names[0]

@@ -97,10 +97,12 @@ def parse_one(
         # ``fetch`` resolves the document's <link> hrefs; defaults to
         # the strong-noNet local-file fetcher (kernel/grddl.py)
         return _gr.parse_document(text, base_uri=base_uri, fetch=fetch)
-    if fmt in ("ntriples-plus", "n3", "raptor"):
-        from raptor_spark.kernel.guess import ALIASES
+    # remaining registered alias names (ntriples-plus/n3 -> turtle,
+    # raptor -> rdfxml; the rdfa10/rdfa11 aliases are version-forcing
+    # and already dispatched above) resolve through the factory table
+    from raptor_spark.kernel.guess import ALIASES
 
-        fmt = ALIASES[fmt]
+    fmt = ALIASES.get(fmt, fmt)
     if fmt == "ntriples":
         return _nt.parse_document(text, is_nquads=False)
     if fmt == "nquads":

@@ -504,20 +504,23 @@ def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     every per-parser recognise_syntax scorer; see kernel/guess.py).
 
     Each event row is expanded (pure column expressions, JVM-side) into
-    one of 13 deterministic (content, mime_type, identifier) scenario
-    classes keyed by event_id %% 13 — high-Q media-type early break,
+    one of 16 deterministic (content, mime_type, identifier) scenario
+    classes keyed by event_id %% 16 — high-Q media-type early break,
     parameterized media type, suffix-beats-content, suffix refusal
     rules, identifier-substring scoring, the reference's nquads-over-
-    ntriples content preference, and the below-MIN_GUESS_SCORE failure
-    case — then the REAL scorer runs in an Arrow-batched mapInPandas
-    stage. The oracle states the hand-derived expected winner per
-    class straight from the reference's C scoring rules."""
+    ntriples content preference, the below-MIN_GUESS_SCORE failure
+    case, the unmatched-mime type-table sentinel (scores 0, not -1),
+    the trailing-dot empty-but-non-NULL suffix, and the FIRSTN
+    byte-window truncation — then the REAL scorer runs in an
+    Arrow-batched mapInPandas stage. The oracle states the
+    hand-derived expected winner per class straight from the
+    reference's C scoring rules."""
     from raptor_spark.operators.parse import rebalance_for_parse
 
     ev = rebalance_for_parse(
         spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
     )
-    cls = F.pmod(F.col("event_id"), F.lit(13)).cast("int")
+    cls = F.pmod(F.col("event_id"), F.lit(16)).cast("int")
     eid = F.col("event_id").cast("string")
     nt = F.concat(
         F.lit("<http://ex.org/s"), eid,
@@ -545,8 +548,12 @@ def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = c.when(cls == i, v)
         return c
 
+    # class 15: 700 two-byte chars push the '@prefix ' marker to byte
+    # ~1400 — outside the reference's FIRSTN = 1024 BYTE window even
+    # though it sits inside the first 1024 characters
+    ttl_past_window = F.concat(F.repeat(F.lit("é"), 700), ttl)
     content = pick(ttl, nt, nt, nt, plain, plain, html, rss_xml, html, js,
-                   ttl, nt, plain)
+                   ttl, nt, plain, js, plain, ttl_past_window)
     mime = pick(
         F.lit("application/rdf+xml"),          # q=10 early break
         F.lit("text/turtle; charset=utf-8"),   # param stripped, q=10
@@ -555,6 +562,8 @@ def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, n,
         F.lit("application/json"),             # q=1 + suffix + content
         n, n, n,
+        F.lit("application/octet-stream"),     # unmatched: sentinel q=0
+        n, n,
     )
     ident = pick(
         n, n,
@@ -566,7 +575,9 @@ def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("posts/feed-rss2.xml"),
         F.lit("profile-RDFa.html"),
         F.lit("data.json"),
-        n, n, n,
+        n, n, n, n,
+        F.concat(F.lit("dump-"), eid, F.lit(".json.")),  # empty suffix
+        n,
     )
     src = ev.select(
         "event_id",
@@ -595,7 +606,7 @@ def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the REFERENCE behavior independently of kernel/guess.py
 _GUESS_ORACLE = """
 SELECT event_id,
-       CASE CAST(event_id % 13 AS INT)
+       CASE CAST(event_id % 16 AS INT)
             WHEN 0 THEN 'rdfxml'        -- application/rdf+xml Q10 beats turtle content
             WHEN 1 THEN 'turtle'        -- text/turtle;param Q10 beats ntriples content
             WHEN 2 THEN 'ntriples'      -- .nt suffix; nquads refuses .nt-named content
@@ -608,7 +619,10 @@ SELECT event_id,
             WHEN 9 THEN 'json'          -- .json suffix + json mime + '{' content
             WHEN 10 THEN 'turtle'       -- @prefix + rdf-ns content markers
             WHEN 11 THEN 'nquads'       -- bare NT content: reference prefers nquads (NT is a subset)
-            ELSE 'unknown'              -- no signal clears MIN_GUESS_SCORE
+            WHEN 12 THEN 'unknown'      -- no signal clears MIN_GUESS_SCORE
+            WHEN 13 THEN 'json'         -- unmatched mime lands on the {NULL,0,0} sentinel: 0 + '{' content 2 clears the bar (raptor_parse.c:1397-1400)
+            WHEN 14 THEN 'unknown'      -- trailing-dot identifier: empty-but-non-NULL suffix blocks the !suffix 'json' arm (raptor_parse.c:1355-1380)
+            ELSE 'unknown'              -- '@prefix ' past FIRSTN = 1024 BYTES is invisible (raptor_parse.c:1428-1436)
        END AS fmt
 FROM events
 """

@@ -184,3 +184,54 @@ def test_guess_basic_shapes():
     )
     assert guess_format("@prefix ex: <http://e/> .\nex:a ex:b ex:c .") == "turtle"
     assert guess_format("<http://g/> { <http://a/> <http://b/> <http://c/> . }") == "trig"
+
+
+def test_guess_mime_sentinel_scores_zero():
+    """An UNMATCHED mime_type scores a factory 0, not -1: the
+    reference's type loop lands on the table's {NULL,0,0} sentinel and
+    `if(type_q) score = type_q->q` assigns its q
+    (src/raptor_parse.c:1389-1400). Content whose recogniser scores
+    exactly MIN_GUESS_SCORE must therefore still win alongside a
+    non-matching Content-Type."""
+    from raptor_spark.kernel.guess import guess_parser_name
+
+    # json content scores 2 ('{' first non-ws); 0 + 2 clears the bar
+    assert (
+        guess_parser_name('{ "k": 1 }', mime_type="application/octet-stream")
+        == "json"
+    )
+    # without a mime_type the same factory starts at -1: -1 + 2 fails
+    assert guess_parser_name('{ "k": 1 }') is None
+
+
+def test_guess_trailing_dot_suffix_is_empty_not_none():
+    """identifier='x.' yields an empty-but-non-NULL suffix in the
+    reference (malloc'd before validation, raptor_parse.c:1355-1380):
+    it truthily enters every if(suffix) branch, matches nothing, and
+    BLOCKS the !suffix identifier-substring arms."""
+    from raptor_spark.kernel.guess import _suffix_of, guess_parser_name
+
+    assert _suffix_of("data.json.") == ""
+    # json's 'json-in-identifier' +4 arm is an ELSE of if(suffix):
+    # blocked by the empty suffix -> no factory clears the bar
+    assert guess_parser_name("plain", identifier="data.json.") is None
+    # the rdfxml/rss !suffix 'rss'-substring arms are blocked the same
+    # way (the un-gated 'feed' arm would still score, so no 'feed' here)
+    assert guess_parser_name("plain", identifier="my-rss.") is None
+    # ...while the same identifier without the trailing dot takes the
+    # !suffix arm: rss +4
+    assert guess_parser_name("plain", identifier="my-rss") == "rss-tag-soup"
+
+
+def test_guess_firstn_is_a_byte_window():
+    """FIRSTN truncates at 1024 BYTES (buffer[FIRSTN]='\\0',
+    raptor_parse.c:1428-1436), not characters: markers past the byte
+    window must be invisible even when they sit inside the first 1024
+    characters of multibyte content."""
+    from raptor_spark.kernel.guess import guess_parser_name
+
+    ttl = "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> ."
+    # 700 two-byte chars push '@prefix ' to byte ~1400, char ~700
+    assert guess_parser_name("é" * 700 + ttl) is None
+    # inside the byte window it still scores
+    assert guess_parser_name("é" * 400 + ttl) == "turtle"

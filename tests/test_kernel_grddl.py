@@ -130,3 +130,20 @@ def test_parse_one_dispatches_grddl():
         doc, "grddl", base_uri="http://ex.org/page.html", fetch=bundle.get
     )
     assert not errors and len(triples) == 1
+
+
+def test_unguessable_link_is_an_error_not_rdfxml():
+    """A linked resource whose content/suffix clears no guess score is
+    a recorded guess failure, like the reference's guess parser
+    (raptor_guess.c:136-140 'Failed to guess parser...'), NOT a forced
+    RDF/XML parse: an extensionless rdf:RDF fragment that the guess
+    scorer rejects must contribute an error and zero triples."""
+    doc = _doc('<link type="application/rdf+xml" href="mystery"/>')
+    bundle = {"http://ex.org/mystery": "no rdf signals at all"}
+    triples, errors = GR.parse_document(
+        doc, base_uri="http://ex.org/page.html", fetch=bundle.get
+    )
+    assert triples == []
+    assert any(
+        "failed to guess parser" in e["message"] for e in errors
+    ), errors

@@ -196,3 +196,44 @@ def test_frame_sampling_only_video(media):
     assert all(len(r.frame) == 16 for r in rows)
     n_video = media.filter("media_type = 'video'").count()
     assert len(rows) == 4 * n_video
+
+
+def test_malformed_containers_degrade_not_crash(spark):
+    """Malformed container bytes must degrade per-row, never kill the
+    Arrow batch: a PPM with non-numeric header tokens, a WAV whose fmt
+    chunk claims 16 bytes but is truncated, and a sub-byte-width WAV
+    are all 'not this format' (None), so codec='auto' falls back to the
+    stub row instead of raising ValueError/struct.error/
+    ZeroDivisionError through the decode stage."""
+    import struct
+
+    bad_ppm = b"P6\nab cd ef\n" + b"\x00" * 32
+    trunc_wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVEfmt " + struct.pack(
+        "<I", 16
+    ) + b"\x01\x00"  # fmt body cut short
+    subbyte_wav = (
+        b"RIFF" + b"\x28\x00\x00\x00" + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 4000, 1, 4)  # bits=4
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    assert MM._parse_ppm(bad_ppm) is None
+    assert MM._parse_wav(trunc_wav) is None
+    assert MM._parse_wav(subbyte_wav) is None
+
+    rows = [
+        (1, "image", bytearray(bad_ppm), len(bad_ppm)),
+        (2, "audio", bytearray(trunc_wav), len(trunc_wav)),
+        (3, "audio", bytearray(subbyte_wav), len(subbyte_wav)),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id bigint, media_type string, payload binary, byte_len int"
+    )
+    out = {
+        r.doc_id: r
+        for r in MM.decode_media(media, codec="auto").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # every row survived via the deterministic stub (ok=True, header-
+    # derived dims), proving the fallback rather than a crash
+    for r in out.values():
+        assert r.ok and r.width is not None
