@@ -515,9 +515,7 @@ def q_format_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas stage. The oracle states the
     hand-derived expected winner per class straight from the
     reference's C scoring rules."""
-    from raptor_spark.operators.parse import rebalance_for_parse
-
-    ev = rebalance_for_parse(
+    ev = _rebalance(
         spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
     )
     cls = F.pmod(F.col("event_id"), F.lit(16)).cast("int")
@@ -648,11 +646,10 @@ def q_rdfa_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition shuffles only the narrow source columns."""
     from raptor_spark.operators.parse import (
         parse_documents,
-        rebalance_for_parse,
         triples_of,
     )
 
-    cust = rebalance_for_parse(
+    cust = _rebalance(
         spark.read.parquet(f"{sf_dir}/customer.parquet")
     )
     doc = F.format_string(
@@ -757,11 +754,10 @@ def q_grddl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter (genid1 from meta.rdf, genid2 from links.ttl)."""
     from raptor_spark.operators.parse import (
         parse_documents,
-        rebalance_for_parse,
         triples_of,
     )
 
-    sup = rebalance_for_parse(
+    sup = _rebalance(
         spark.read.parquet(f"{sf_dir}/supplier.parquet")
     )
     k = F.col("s_suppkey")
@@ -1190,11 +1186,12 @@ def q_pred_histogram_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-key aggregation with explicit two-phase salting: predicates
     are heavily skewed (6 hot keys over millions of rows — the rdf:type
     shape the north rule calls out), so the partial aggregate spreads
-    each predicate over 16 salt buckets before the final combine."""
-    from raptor_spark.pipeline import build_graph
-    from raptor_spark.sources.transcripts import tpch_transcripts
+    each predicate over 16 salt buckets before the final combine.
+    Reads the materialized graph table so the entry times the salted
+    aggregation under test, not a per-call re-parse."""
+    from raptor_spark.sources.transcripts import materialize_graph
 
-    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    triples = spark.read.parquet(materialize_graph(spark, sf_dir))
     salted = triples.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col("subj")), F.lit(16))
     )
@@ -1342,12 +1339,13 @@ def q_serialize_rt_mkr(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression: every subject — top-level 'X has' or inlined
     '{ _:b has' — emits exactly one ' has\\n'. The conversation graphs
     are one order node plus one once-referenced lineitem bnode each, so
-    the oracle pins n_subjects = 1 + lineitem count."""
+    the oracle pins n_subjects = 1 + lineitem count. Reads the
+    materialized graph table like every other sink entry (sinks
+    serialize a stored graph, not a per-export re-parse)."""
     from raptor_spark.operators.serialize import serialize_documents
-    from raptor_spark.pipeline import build_graph
-    from raptor_spark.sources.transcripts import tpch_transcripts
+    from raptor_spark.sources.transcripts import materialize_graph
 
-    triples, _ = build_graph(tpch_transcripts(spark, sf_dir))
+    triples = spark.read.parquet(materialize_graph(spark, sf_dir))
     docs = serialize_documents(triples, "mkr")
     return docs.select(
         "conv_id",
@@ -1415,9 +1413,18 @@ FROM documents GROUP BY md5(text)
 
 
 def _shingles(col, n=3):
-    """Word n-gram shingles as an array column (whitespace tokenized)."""
+    """Word n-gram shingles as an array column (whitespace tokenized).
+
+    A document with fewer than n tokens yields the EMPTY array — no
+    signature, never a candidate — matching the oracle CTEs' empty
+    range. (The guard must be a when(): sequence(0, size-n) with
+    size < n would generate a DESCENDING sequence, and the previous
+    greatest(size-n, 0) emitted a short under-n shingle that the SQL
+    side turned into NULL — divergent short-doc semantics.)"""
     toks = F.split(F.trim(col), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("array()").cast("array<int>"))
     return F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
@@ -1555,7 +1562,7 @@ toks AS (
 sh AS (
   SELECT DISTINCT doc_id,
          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)  -- empty when len < 3
 ),
 shb AS (
   SELECT doc_id,
@@ -1616,6 +1623,24 @@ FROM bands a JOIN bands b
 _SHINGLE_DF_CAP = 100
 
 
+def _jaccard_verify(inter, sizes):
+    """Attach per-doc shingle-set sizes to (doc_a, doc_b, common)
+    intersection counts, compute exact Jaccard, and keep pairs >= 0.5
+    (floored x1000 for engine-stable comparison). ONE definition shared
+    by dedup_jaccard and the LSH cascade (_cascade_pairs) so the
+    threshold and stabilization can never silently drift apart."""
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sz", "sz_b")
+    )
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return j.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
+    )
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification of near-dup candidates: exact overlap
     of distinct word-3-gram shingle sets over a shingle-inverted index
@@ -1644,16 +1669,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("sz", "sz_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("sz", "sz_b")
-    )
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    return j.filter(jac >= 0.5).select(
-        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
-    )
+    return _jaccard_verify(inter, sizes)
 
 
 _JACCARD_ORACLE = """
@@ -1662,7 +1678,7 @@ WITH toks AS (
 ),
 sh_all AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)  -- empty when len < 3
 ),
 sh AS (
   SELECT doc_id, sh
@@ -1707,16 +1723,7 @@ def _cascade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("sz", "sz_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
-        .withColumnRenamed("sz", "sz_b")
-    )
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    return j.filter(jac >= 0.5).select(
-        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
-    )
+    return _jaccard_verify(inter, sizes)
 
 
 def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1973,7 +1980,7 @@ WITH toks AS (
 ),
 sh AS (
   SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)  -- empty when len < 3
 ),
 hashes AS (
   SELECT doc_id,
@@ -2161,7 +2168,7 @@ FROM pairs WHERE cos >= 0.35
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: token count, distinct-token ratio, mean token
     length, repetition flag (integer-stabilized for comparison)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(toks)
     nd = F.size(F.array_distinct(toks))
@@ -2242,7 +2249,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions over the documents table; the synthetic corpus is
     English-vocab so the interesting part is the scoring plumbing,
     checked bit-for-bit vs the oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rebalance(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     hits = _lang_hits(F.col("text"))
     # two projections on purpose: the argmax references each hit count
     # several times, so computing hits into named columns first keeps
@@ -2422,8 +2429,12 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     English contraction suffixes) and count tokens per class.  Pure
     column expressions — the whole stage stays in whole-stage codegen;
     chars_per_tok_x100 is the usual 'fertility' proxy for how many
-    real BPE merges a tokenizer would spend on the document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    real BPE merges a tokenizer would spend on the document.
+
+    The documents scan is rebalanced first: the regex extraction plus
+    three per-token filter passes are the CPU-bound first stage, and
+    documents.parquet is byte-small (one split) at test scales."""
+    docs = _rebalance(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
     nonws = F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
     n = F.size(nonws)
@@ -2501,9 +2512,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
         synth_media_real,
     )
-    from raptor_spark.operators.parse import rebalance_for_parse
-
-    docs = rebalance_for_parse(
+    docs = _rebalance(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
     return decode_media(synth_media_real(docs), codec="auto").select(
@@ -2553,9 +2562,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sha256-derived stand-in for an embedding model), projected to
     scalar columns for exact oracle comparison."""
     from raptor_spark.functions.multimodal import extract_features, synth_media
-    from raptor_spark.operators.parse import rebalance_for_parse
-
-    docs = rebalance_for_parse(
+    docs = _rebalance(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
     feats = extract_features(synth_media(docs))
@@ -2594,9 +2601,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: video payloads exploded to per-frame rows inside
     the Python stage (one row per 16-byte 'frame')."""
     from raptor_spark.functions.multimodal import sample_frames, synth_media
-    from raptor_spark.operators.parse import rebalance_for_parse
-
-    docs = rebalance_for_parse(
+    docs = _rebalance(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
     return sample_frames(synth_media(docs)).select("doc_id", "frame_offset")
@@ -2624,21 +2629,9 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(emb.filter(F.col("vec_id") < 8).alias("q")))
         .filter(F.col("q.vec_id") != F.col("c.vec_id"))
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("q.embedding"), F.col("c.embedding"), lambda a, b: a * b
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(
-            F.transform(F.col(side + ".embedding"), lambda a: a * a),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    sim = dot / (norm("q") * norm("c"))
+    # the module's single ordered-fold cosine: its fold order is
+    # load-bearing for bit-exact oracle parity, so no inline copy here
+    sim = _emb_cos("q.embedding", "c.embedding")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )

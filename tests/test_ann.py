@@ -93,3 +93,53 @@ def test_simhash_pairs_are_near_duplicates(spark):
     # every simhash hit should be confirmed by exact Jaccard >= 0.5
     false_pos = sim - jac
     assert len(false_pos) <= len(sim) * 0.5, f"too many weak pairs: {false_pos}"
+
+
+def test_shingles_short_doc_parity_with_oracle(spark):
+    """Word-3-gram shingling must agree between the Spark column
+    expression and the DuckDB oracle CTE for EVERY token count,
+    including documents shorter than the shingle width: both sides
+    drop sub-3-token docs entirely (no signature, never a candidate).
+    The pre-fix versions diverged there — Spark emitted a short
+    shingle, SQL a NULL — so two identical 2-token docs were a dup
+    pair in Spark and invisible to the oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from raptor_spark.queries import _shingles
+
+    docs = [
+        (1, "one"),
+        (2, "two tokens"),
+        (3, "now three tokens"),
+        (4, "four whitespace split tokens"),
+        (5, "  padded   with   extra   spaces  "),
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id int, text string")
+    spark_sh = {
+        (r.doc_id, r.sh)
+        for r in sdf.select(
+            "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    oracle_sh = set(
+        con.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents
+            )
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            """
+        ).fetchall()
+    )
+    assert spark_sh == oracle_sh
+    # sub-3-token docs have NO shingles on either side
+    assert not any(d in (1, 2) for d, _ in spark_sh)
+    # and a 3-token doc has exactly one
+    assert sum(1 for d, _ in spark_sh if d == 3) == 1
