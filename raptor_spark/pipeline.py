@@ -39,12 +39,14 @@ def build_graph(
     streaming parsers emit duplicates as-is; only the buffered abbrev
     serializers dedup) — used when comparing against rapper output.
 
-    Statement dedup runs conversation-scoped BEFORE relabeling: the
-    parse output is still hash-partitioned by conv_id from the
-    reassembly exchange, and a dedup key containing conv_id is
-    satisfied by that partitioning — so the dedup aggregation needs NO
-    new shuffle. This is also the reference's semantic (duplicate
-    suppression is per parsed document, src/raptor_abbrev.c:354-397);
+    Statement dedup runs PER DOCUMENT INSIDE the parse stage, before
+    relabeling: the whole document is in hand there, and the Arrow
+    parse stage reports UnknownPartitioning downstream, so any
+    post-parse dropDuplicates would re-shuffle every triple even though
+    the stream is conv_id-clustered (CLAUDE.md rule; gated by
+    tests/test_plan_shape.py). This is also the reference's semantic
+    (duplicate suppression is per parsed document,
+    src/raptor_abbrev.c:354-397);
     after relabeling, bnode triples are globally unique by construction
     (labels embed conv_id). ``global_dedup=True`` adds a whole-graph
     pass after relabeling — a full shuffle on the term columns — for
@@ -124,8 +126,6 @@ def run_resumable(
             bucket_fn=bucket_fn,
         )
         if entities is not None:
-            from raptor_spark.operators.link import link_entities
-
             extra_rows = ckpt.link_catchup(
                 spark, transcripts, out_dir, n_buckets, entities,
                 link_fn=link_entities, bucket_fn=bucket_fn,

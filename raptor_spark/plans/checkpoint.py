@@ -18,6 +18,11 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+try:  # moved in PySpark 3.4
+    from pyspark.errors import AnalysisException
+except ImportError:  # pragma: no cover
+    from pyspark.sql.utils import AnalysisException
+
 
 def with_bucket(
     df: DataFrame, n_buckets: int, col: str = "conv_id", bucket_fn=None
@@ -50,7 +55,11 @@ def finished_buckets(spark: SparkSession, out_dir: str) -> Optional[DataFrame]:
         return None
     try:
         df = spark.read.option("mergeSchema", "true").parquet(manifest_path)
-    except Exception:
+    except AnalysisException:
+        # a manifest dir with no readable parquet yet (run died before
+        # the first manifest append) IS "nothing finished"; any OTHER
+        # failure must propagate — mapping an IO hiccup to None would
+        # silently re-materialize every finished bucket
         return None
     if "linked" in df.columns:
         linked = F.coalesce(F.col("linked"), F.col("link_decisions") > 0)
@@ -98,15 +107,25 @@ def write_bucketed(
     link decisions.  ``turns`` is the transcript turn table (counted per
     bucket); ``links`` is the (conv_id, entity_uri, mentions) linking
     output, materialized under ``links/bucket=`` alongside the triples.
+
+    Bucket data writes use DYNAMIC partition overwrite, not append: a
+    run only carries unfinished buckets, so replacing exactly the
+    partitions it writes makes a crash-replay idempotent — a run that
+    died AFTER appending bucket data but BEFORE its manifest row would
+    otherwise leave a duplicate copy under the bucket on resume. (The
+    one residual: a replay that produces zero rows for a bucket whose
+    crashed predecessor wrote some leaves the stale rows; the manifest
+    row still describes the replay.) The manifest itself stays
+    append-only — readers aggregate it per bucket.
     """
     t = with_bucket(triples, n_buckets, bucket_fn=bucket_fn)
     e = with_bucket(errors, n_buckets, bucket_fn=bucket_fn)
-    t.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "triples")
-    )
-    e.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "errors")
-    )
+    t.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(os.path.join(out_dir, "triples"))
+    e.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("bucket").parquet(os.path.join(out_dir, "errors"))
     man_t = t.groupBy("bucket").agg(
         F.countDistinct("conv_id").alias("convs"),
         F.count(F.lit(1)).alias("triples"),
@@ -115,12 +134,21 @@ def write_bucketed(
     manifest = man_t.join(man_e, "bucket", "full")
     fill = ["convs", "triples", "errors"]
     if turns is not None:
+        # convs is counted from the INPUT (conversations consumed), not
+        # from distinct conv_id in the triples output: a bucket whose
+        # conversations all parse to zero triples is still finished and
+        # must record how many it consumed
         man_u = with_bucket(
             turns.select("conv_id"), n_buckets, bucket_fn=bucket_fn
-        ).groupBy(
-            "bucket"
-        ).agg(F.count(F.lit(1)).alias("turns"))
-        manifest = manifest.join(man_u, "bucket", "full")
+        ).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.countDistinct("conv_id").alias("convs_in"),
+        )
+        manifest = (
+            manifest.join(man_u, "bucket", "full")
+            .withColumn("convs", F.coalesce("convs_in", F.lit(0)))
+            .drop("convs_in")
+        )
         fill.append("turns")
     else:
         # null, NOT 0: "turn counting didn't run" must stay
@@ -128,9 +156,9 @@ def write_bucketed(
         manifest = manifest.withColumn("turns", F.lit(None).cast("long"))
     if links is not None:
         lk = with_bucket(links, n_buckets, bucket_fn=bucket_fn)
-        lk.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(out_dir, "links")
-        )
+        lk.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(os.path.join(out_dir, "links"))
         man_l = lk.groupBy("bucket").agg(
             F.count(F.lit(1)).alias("link_decisions")
         )
@@ -181,34 +209,42 @@ def link_catchup(
     todo = with_bucket(transcripts, n_buckets, bucket_fn=bucket_fn).join(
         F.broadcast(unlinked), "bucket", "left_semi"
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the linking stage (mention explode + broadcast join +
+    # scoring window) feeds BOTH the links/bucket= write and the
+    # manifest counters — without this it runs twice
     lk = with_bucket(
         link_fn(todo.drop("bucket"), entities), n_buckets, bucket_fn=bucket_fn
-    )
-    lk.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(out_dir, "links")
-    )
-    null_long = F.lit(None).cast("long")
-    man = (
-        unlinked.join(
-            lk.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("link_decisions")
-            ),
-            "bucket",
-            "left",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        lk.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("bucket").parquet(os.path.join(out_dir, "links"))
+        null_long = F.lit(None).cast("long")
+        man = (
+            unlinked.join(
+                lk.groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("link_decisions")
+                ),
+                "bucket",
+                "left",
+            )
+            .select(
+                "bucket",
+                null_long.alias("convs"),
+                null_long.alias("triples"),
+                null_long.alias("errors"),
+                null_long.alias("turns"),
+                F.coalesce(F.col("link_decisions"), F.lit(0)).alias(
+                    "link_decisions"
+                ),
+                F.lit(True).alias("linked"),
+                F.current_timestamp().alias("ts"),
+            )
+            .localCheckpoint()
         )
-        .select(
-            "bucket",
-            null_long.alias("convs"),
-            null_long.alias("triples"),
-            null_long.alias("errors"),
-            null_long.alias("turns"),
-            F.coalesce(F.col("link_decisions"), F.lit(0)).alias(
-                "link_decisions"
-            ),
-            F.lit(True).alias("linked"),
-            F.current_timestamp().alias("ts"),
-        )
-        .localCheckpoint()
-    )
+    finally:
+        lk.unpersist()
     man.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
     return man

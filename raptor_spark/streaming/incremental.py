@@ -18,6 +18,22 @@ watermark contract). State survives restarts through the streaming
 checkpoint, so a drain-restart-drain sequence emits each conversation
 exactly once.
 
+Two operational caveats a deployment must respect:
+
+- The watermark advances per MICRO-BATCH, so input files must arrive in
+  rough event-time order (a true stream) OR the drain must cover the
+  whole backlog in one batch (``max_files_per_trigger`` >= file count,
+  as q_kg_stream_incremental does) OR ``watermark_delay_seconds`` must
+  be widened to the backlog's event-time disorder. A historical
+  backfill whose files interleave years of event time under
+  ``maxFilesPerTrigger=1`` would otherwise silently drop whole
+  conversations from later files as late data.
+- Parse errors are not re-emitted on the stream (the output schema is
+  triples-only, mirroring the batch pipeline's triples table); a
+  malformed conversation finalizes to zero triples. Audit drained
+  corpora with the batch q_kg_parse_errors gate when error visibility
+  is needed.
+
 ``windowed_rates`` is the companion monitoring aggregation: triples per
 event-time window per syntax, watermarked for late data — the streaming
 counterpart of the batch pipeline's counter metrics.
@@ -35,7 +51,7 @@ import pandas as pd
 #: outputs (queries.q_kg_stream_incremental keys its /tmp dir on this)
 #: are invalidated — GEN/GRAPH_VERSION only cover synthesis and the
 #: batch parse path, not this module.
-STREAM_VERSION = 1
+STREAM_VERSION = 2
 
 TRANSCRIPT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -62,9 +78,16 @@ def _finalize(key: str, idxs, texts, tool: str):
     pipeline's reassemble+parse collapsed into the state finalizer."""
     from raptor_spark.operators.parse import parse_one
 
-    order = sorted(range(len(idxs)), key=lambda i: (idxs[i], i))
+    # tie-break duplicate turn_idx by TEXT, exactly like the batch
+    # path's array_sort(struct(turn_idx, text)) (operators/reassemble) —
+    # arrival order would make the stream output depend on the
+    # micro-batch split and diverge from the batch oracle
+    order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
     doc = "".join(texts[i] for i in order)
     try:
+        # parse_one records malformed input as error rows (dropped here;
+        # see the module docstring) — the except is the batch operator's
+        # one-bad-doc-must-not-kill-a-batch guard for kernel crashes
         triples, _errors = parse_one(doc, tool)
     except Exception:
         triples = []
@@ -107,7 +130,13 @@ def _make_assembler(gap_seconds: int):
                 idxs.append(int(r.turn_idx))
                 texts.append(r.text)
                 tool = r.tool
-                sec = int(r.ts.timestamp())
+                # ts_sec is computed JVM-side (cast ts to long = true UTC
+                # epoch seconds); the naive pandas timestamp in r.ts is
+                # SESSION-LOCAL, so .timestamp() on it would shift the
+                # timeout by the session-timezone offset — earlier than
+                # the watermark (a hard error) west of UTC, hours-late
+                # finalization east of it
+                sec = int(r.ts_sec)
                 if sec > last_sec:
                     last_sec = sec
         state.update((idxs, texts, tool, last_sec))
@@ -133,19 +162,33 @@ def stream_incremental_kg(
     gap_seconds: int = 600,
     max_files_per_trigger: int = 1,
     await_termination: bool = True,
+    watermark_delay_seconds: Optional[int] = None,
 ):
     """Stateful streaming: buffer each conversation's turns until its
     event-time gap elapses (per the watermark), then parse and append the
     triples. Drains with Trigger.AvailableNow; re-running after new files
-    land resumes from the checkpointed state."""
+    land resumes from the checkpointed state.
+
+    ``watermark_delay_seconds`` defaults to ``gap_seconds`` (a live
+    stream in rough event-time order); widen it to the input's
+    event-time DISORDER when draining a backlog whose files interleave
+    older events across micro-batches — see the module docstring."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    delay = (
+        gap_seconds
+        if watermark_delay_seconds is None
+        else watermark_delay_seconds
+    )
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(transcripts_path)
-        .withWatermark("ts", "%d seconds" % gap_seconds)
+        .withWatermark("ts", "%d seconds" % delay)
+        # timezone-independent event time for the state function: cast
+        # to long is true UTC epoch seconds on any session timezone
+        .withColumn("ts_sec", F.col("ts").cast("long"))
     )
     out = (
         stream.groupBy("conv_id")

@@ -165,3 +165,40 @@ def test_streaming_drain_matches_batch(spark, transcripts, tmp_path_factory):
     # a second drain over the same checkpoint is a no-op (exactly-once)
     stream_build_graph(spark, src, out)
     assert spark.read.parquet(f"{out}/triples").count() == expected.count()
+
+
+def test_bucket_replay_is_idempotent(spark, transcripts, tmp_path_factory):
+    """A run that died AFTER writing bucket data but BEFORE its manifest
+    row re-executes those buckets on resume; the bucket writes use
+    dynamic partition overwrite, so the replay REPLACES the orphaned
+    copy instead of appending a duplicate next to it."""
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.plans import checkpoint as ckpt
+
+    out = str(tmp_path_factory.mktemp("replay"))
+    triples, errors = build_graph(transcripts)
+    ckpt.write_bucketed(triples, errors, out, n_buckets=4,
+                        turns=transcripts)
+    once = spark.read.parquet(out + "/triples").count()
+    # crash-replay: the same buckets written again (manifest row lost)
+    ckpt.write_bucketed(triples, errors, out, n_buckets=4,
+                        turns=transcripts)
+    again = spark.read.parquet(out + "/triples").count()
+    assert once > 0 and again == once
+    # the manifest log is append-only; readers aggregate per bucket
+    man = spark.read.parquet(out + "/manifest")
+    assert man.count() == 2 * man.select("bucket").distinct().count()
+
+
+def test_empty_manifest_dir_reads_as_nothing_finished(spark, tmp_path):
+    """A manifest dir with no readable parquet (run died before the
+    first append) means 'nothing finished' — but ONLY that case maps to
+    None; other read failures propagate instead of silently
+    re-materializing finished buckets."""
+    import os
+
+    from raptor_spark.plans import checkpoint as ckpt
+
+    out = str(tmp_path / "job")
+    os.makedirs(os.path.join(out, "manifest"))
+    assert ckpt.finished_buckets(spark, out) is None

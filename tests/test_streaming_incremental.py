@@ -156,3 +156,37 @@ def test_windowed_rates_shape(spark, tmp_path):  # noqa: F811
     rows = spark.sql("select * from rates").collect()
     assert rows and sum(r.n_turns for r in rows) == len(A_CHUNKS)
     assert all(r.tool == "ntriples" for r in rows)
+
+
+def test_drain_on_non_utc_session_timezone(spark, tmp_path):  # noqa: F811
+    """Event-time timeouts must not shift with the session timezone:
+    the state function reads a JVM-computed UTC epoch column (ts_sec),
+    because .timestamp() on the session-LOCAL naive pandas timestamp is
+    offset by the timezone — west of UTC the timeout lands EARLIER than
+    the watermark (a hard GroupState error), east of it conversations
+    finalize hours late."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        _write(spark, _rows("C", B_CHUNKS[:1], T0), inp, 1)
+        _drain(spark, inp, out)
+        _write(
+            spark,
+            _rows("W", ["<http://ex/w> <http://ex/p> <http://ex/o> .\n"],
+                  T0 + dt.timedelta(seconds=2000)),
+            inp, 2,
+        )
+        _drain(spark, inp, out)
+        _write(
+            spark,
+            _rows("W2", ["<http://ex/w2> <http://ex/p> <http://ex/o> .\n"],
+                  T0 + dt.timedelta(seconds=4000)),
+            inp, 3,
+        )
+        _drain(spark, inp, out)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    got = [r for r in _result(spark, out) if r[0] == "C"]
+    assert got == [("C", "http://ex/b", "http://ex/p", 1, "http://ex/o1")]
