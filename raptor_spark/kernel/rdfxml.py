@@ -990,14 +990,23 @@ class _Parser:
     # -- driver ----------------------------------------------------------------
     def run(self, text, _allow_rewrite: bool = True):
         try:
-            # surrogatepass: lone surrogates (however they got into the
-            # string) become bytes expat will reject as malformed UTF-8 —
-            # an error record, not a crash
-            data = (
-                text.encode("utf-8", "surrogatepass")
-                if isinstance(text, str)
-                else text
-            )
+            if isinstance(text, str):
+                try:
+                    # surrogateescape FIRST: it inverts a surrogateescape
+                    # decode, so non-UTF-8 document bytes that rode
+                    # through a string column (fixture loaders read text
+                    # that way) reach expat in their ORIGINAL form —
+                    # where the XML declaration's encoding can still
+                    # make them a valid document
+                    data = text.encode("utf-8", "surrogateescape")
+                except UnicodeEncodeError:
+                    # other lone surrogates (fuzz inputs) still need a
+                    # byte form; surrogatepass yields bytes expat will
+                    # reject as malformed UTF-8 — an error record, not
+                    # a crash
+                    data = text.encode("utf-8", "surrogatepass")
+            else:
+                data = text
         except UnicodeEncodeError as e:
             self.errors.append({"line": 0, "message": "encoding error: %s" % e})
             return

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from raptor_spark.kernel.terms import KIND_BLANK
+
 XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 
 
@@ -47,7 +49,7 @@ def relabel_bnodes(triples: DataFrame) -> DataFrame:
         .withColumn(
             "obj_lex",
             F.when(
-                F.col("obj_kind") == 4,
+                F.col("obj_kind") == KIND_BLANK,
                 F.concat(F.col("conv_id"), F.lit("."), F.col("obj_lex")),
             ).otherwise(F.col("obj_lex")),
         )
@@ -77,8 +79,15 @@ def dedup_statements(
     ]
     keys = term_keys if global_dedup else ["conv_id"] + term_keys
     if salt_buckets and salt_buckets > 1:
+        # the salt must be KEY-INDEPENDENT: a salt derived from the
+        # dedup keys gives every copy of a duplicate the SAME salt, so
+        # the hub key re-concentrates on one reducer and the "spread"
+        # is a structural no-op that just adds a second shuffle. The
+        # partition id spreads a hub key's copies across the input
+        # partitions that carry them; the partial pass leaves at most
+        # salt_buckets survivors per key for the final dedup.
         salted = triples.withColumn(
-            "_salt", F.pmod(F.xxhash64(*keys), F.lit(salt_buckets))
+            "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
         )
         partial = salted.dropDuplicates(["_salt"] + keys)
         return partial.dropDuplicates(keys).drop("_salt")

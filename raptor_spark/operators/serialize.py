@@ -177,12 +177,19 @@ def nt_lines_df(
         clean = clean & (F.col("graph").isNull() | _subjlike_clean(F.col("graph")))
     clean = F.coalesce(clean, F.lit(False))
 
+    # lang/datatype gate on NON-EMPTINESS, not just non-null: the kernel
+    # renderer (nt_render_term) tests truthiness, so an empty-string
+    # obj_lang/obj_datatype renders NOTHING there — gating on isNotNull
+    # alone would emit invalid '@' / '^^<>' on the fast path and break
+    # the byte-identical contract with the kernel path
+    has_lang = og.isNotNull() & (og != F.lit(""))
+    has_dt = od.isNotNull() & (od != F.lit(""))
     lit = F.concat(
         F.lit('"'),
         _lit_escape(ol),
         F.lit('"'),
-        F.when(og.isNotNull(), F.concat(F.lit("@"), og)).otherwise(F.lit("")),
-        F.when(od.isNotNull(), F.concat(F.lit("^^<"), od, F.lit(">"))).otherwise(
+        F.when(has_lang, F.concat(F.lit("@"), og)).otherwise(F.lit("")),
+        F.when(has_dt, F.concat(F.lit("^^<"), od, F.lit(">"))).otherwise(
             F.lit("")
         ),
     )
@@ -232,18 +239,6 @@ def write_ntriples(triples: DataFrame, path: str, with_graph: bool = True):
     nt_lines_df(triples, with_graph).withColumnRenamed(
         "nt_line", "value"
     ).write.mode("overwrite").text(path)
-
-
-def _rows_to_triples(pdf: pd.DataFrame):
-    return [
-        Triple(
-            r.subj, r.pred, int(r.obj_kind), r.obj_lex,
-            None if pd.isna(r.obj_datatype) else r.obj_datatype,
-            None if pd.isna(r.obj_lang) else r.obj_lang,
-            None if r.graph is None or (isinstance(r.graph, float) and pd.isna(r.graph)) else r.graph,
-        )
-        for r in pdf.itertuples()
-    ]
 
 
 _TRIPLE_STRUCT = ("subj", "pred", "obj_kind", "obj_lex", "obj_datatype",

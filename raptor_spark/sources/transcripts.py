@@ -55,15 +55,20 @@ GEN_VERSION = 4
 
 
 def _format_col(orderkey):
+    """Derived from FORMAT_BUCKETS (the single mapping source). The
+    per-syntax lineitem gates in tpch_transcripts hand-code the same
+    buckets inside column expressions; they are oracle-pinned, so any
+    re-bucketing must change both plus every oracle's CASE."""
     b = F.pmod(orderkey, F.lit(10))
-    return (
-        F.when(b <= 3, F.lit("ntriples"))
-        .when(b == 4, F.lit("rdfxml"))
-        .when(b == 5, F.lit("json"))
-        .when(b <= 7, F.lit("turtle"))
-        .when(b == 8, F.lit("nquads"))
-        .otherwise(F.lit("trig"))
-    )
+    cond = None
+    for fmt, buckets in FORMAT_BUCKETS.items():
+        test = b.isin(*buckets)
+        cond = (
+            F.when(test, F.lit(fmt))
+            if cond is None
+            else cond.when(test, F.lit(fmt))
+        )
+    return cond
 
 
 def _json_term(type_: str, value_col, datatype: str = None):
@@ -93,12 +98,15 @@ def tpch_transcripts(
     its lineitems as RDF statements (3 header triples + 3 per lineitem).
     """
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    if max_orders is not None:
-        orders = orders.filter(F.col("o_orderkey") <= max_orders)
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if max_orders is not None:
+        # push the key threshold onto BOTH sides: without the lineitem
+        # filter the full table flows through the gate projection and
+        # the groupBy shuffle only to be dropped at the join
+        orders = orders.filter(F.col("o_orderkey") <= max_orders)
+        lineitem = lineitem.filter(F.col("l_orderkey") <= max_orders)
 
     k = F.col("o_orderkey")
-    fmt = _format_col(k)
     graph_uri = F.concat(F.lit("<" + GRAPH_NS), k, F.lit(">"))
 
     subj = F.concat(F.lit("<" + ORDER_NS), k, F.lit(">"))
@@ -432,15 +440,23 @@ def materialize_transcripts(
         if replicate > 1:
             # bench-only corpus growth: N copies under distinct conv_ids
             # (per-document work identical; conv_id only prefixes bnode
-            # relabeling downstream)
-            base = reduce(
-                lambda a, b: a.unionByName(b),
-                [
-                    base.withColumn(
-                        "conv_id", F.concat(F.col("conv_id"), F.lit("#%d" % i))
-                    )
-                    for i in range(replicate)
-                ],
+            # relabeling downstream). One synthesis pass + an exploded
+            # suffix array — an N-way union of the plan would re-run the
+            # whole orders/lineitem join and aggregation per replica for
+            # byte-identical output
+            base = (
+                base.withColumn(
+                    "_rep",
+                    F.explode(
+                        F.array(
+                            *[F.lit("#%d" % i) for i in range(replicate)]
+                        )
+                    ),
+                )
+                .withColumn(
+                    "conv_id", F.concat(F.col("conv_id"), F.col("_rep"))
+                )
+                .drop("_rep")
             )
         base.repartition(32, F.col("conv_id")).write.mode("overwrite").parquet(out)
     return out
@@ -488,6 +504,12 @@ def fixture_transcripts(
     """
     rows = []
     for path, fmt, base_uri in zip(files, formats, base_uris):
+        # surrogateescape + newline='' keeps the document byte-exact
+        # through the string column: the rdfxml kernel re-encodes with
+        # surrogateescape first (kernel/rdfxml.py run()), which inverts
+        # this read, so non-UTF-8 fixture bytes reach expat in their
+        # original form (the CLAUDE.md read-rdfxml-as-bytes rule,
+        # satisfied through the text-column transport)
         with open(path, encoding="utf-8", errors="surrogateescape", newline="") as fh:
             text = fh.read()
         conv_id = f"{path.parent.name}/{path.name}"

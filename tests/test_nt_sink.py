@@ -49,6 +49,12 @@ ROWS = [
     # DEL in literal
     ("http://ex.org/s", "http://ex.org/p", KIND_LITERAL, "del\x7f", None,
      None, None),
+    # EMPTY-STRING lang/datatype: the kernel gates on truthiness and
+    # renders nothing — the fast path must not emit '@' / '^^<>'
+    ("http://ex.org/s", "http://ex.org/p", KIND_LITERAL, "v", "", "",
+     None),
+    ("http://ex.org/s", "http://ex.org/p", KIND_LITERAL, "w", "", None,
+     None),
 ]
 
 SCHEMA = (
