@@ -101,31 +101,80 @@ def find_bnode_mapping(
         x: sorted(y for y in bb if sig_b[y] == sig_a[x]) for x in ba
     }
     order = sorted(ba, key=lambda x: len(cands[x]))
-    tb_counter = Counter(tb)
 
-    def apply_map(m: Dict[str, str]) -> bool:
-        mapped = Counter()
-        for s, p, ok, olex, odt, olang, g in ta:
-            s2 = m.get(s, s) if _is_bnode(s) else s
-            olex2 = m.get("_:" + olex, "_:" + olex)[2:] if ok == 4 else olex
-            g2 = m.get(g, g) if _is_bnode(g) else g
-            mapped[(s2, p, ok, olex2, odt, olang, g2)] += 1
-        return mapped == tb_counter
+    # Incremental-validation backtracking: every triple of `ta` is
+    # consumed from `remaining` the moment its LAST bnode is assigned,
+    # so an inconsistent partial assignment is rejected at the first
+    # bnode that breaks a triple — leaf-only validation would enumerate
+    # all k! signature-consistent bijections on non-isomorphic graphs
+    # whose bnodes are refinement-equivalent (e.g. one 2k-cycle vs two
+    # k-cycles), which is factorial exactly when the comparator runs on
+    # a FAILING case and a diff is most needed.
+    tri_bnodes: List[set] = []
+    touch: Dict[str, List[int]] = defaultdict(list)
+    for i, (s, p, ok, olex, odt, olang, g) in enumerate(ta):
+        bs = set()
+        if _is_bnode(s):
+            bs.add(s)
+        if ok == 4:
+            bs.add("_:" + olex)
+        if _is_bnode(g):
+            bs.add(g)
+        tri_bnodes.append(bs)
+        for x in bs:
+            touch[x].append(i)
+
+    remaining = Counter(tb)
+    for i, t in enumerate(ta):
+        if not tri_bnodes[i]:
+            if remaining[t] <= 0:
+                return None  # unreachable after the grounded() check
+            remaining[t] -= 1
+    unassigned = [len(bs) for bs in tri_bnodes]
 
     used: set = set()
     assignment: Dict[str, str] = {}
 
+    def map_triple(i: int) -> Tuple:
+        s, p, ok, olex, odt, olang, g = ta[i]
+        s2 = assignment.get(s, s) if _is_bnode(s) else s
+        olex2 = (
+            assignment.get("_:" + olex, "_:" + olex)[2:] if ok == 4 else olex
+        )
+        g2 = assignment.get(g, g) if _is_bnode(g) else g
+        return (s2, p, ok, olex2, odt, olang, g2)
+
     def backtrack(k: int) -> bool:
         if k == len(order):
-            return apply_map(assignment)
+            # every triple was consumed exactly once without going
+            # negative and |ta| == |tb|, so the multisets are equal
+            return True
         x = order[k]
         for y in cands[x]:
             if y in used:
                 continue
             assignment[x] = y
             used.add(y)
-            if backtrack(k + 1):
+            consumed: List[Tuple[int, Optional[Tuple]]] = []
+            feasible = True
+            for i in touch[x]:
+                unassigned[i] -= 1
+                if unassigned[i] == 0:
+                    mt = map_triple(i)
+                    if remaining[mt] <= 0:
+                        consumed.append((i, None))
+                        feasible = False
+                        break
+                    remaining[mt] -= 1
+                    consumed.append((i, mt))
+                else:
+                    consumed.append((i, None))
+            if feasible and backtrack(k + 1):
                 return True
+            for i, mt in consumed:
+                if mt is not None:
+                    remaining[mt] += 1
+                unassigned[i] += 1
             used.discard(y)
             del assignment[x]
         return False

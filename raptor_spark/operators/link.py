@@ -10,11 +10,17 @@ is a syntax library); the stage comes from BASELINE.json's north_star.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import re
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: mention pattern -> capture group 1 is the entity key
-MENTION_PATTERN = r"http://ex\.org/customer/(\d+)"
+from raptor_spark.sources.transcripts import CUST_NS
+
+#: mention pattern -> capture group 1 is the entity key. Derived from
+#: the generator's namespace constant so the detector and the corpus
+#: can never silently drift apart.
+MENTION_PATTERN = re.escape(CUST_NS) + r"(\d+)"
 
 
 def detect_mentions(
@@ -38,8 +44,12 @@ def link_entities(
 
     ``entities`` must have columns (key, entity_uri) and be small enough
     to broadcast (an entity dictionary); the corpus side never shuffles
-    until the per-conversation aggregation, which is partitioned by
-    conv_id like every other stage of the job.
+    until the per-conversation aggregation. The best-candidate pick is
+    a min-of-struct AGGREGATE, not a window: min((-mentions,
+    entity_uri)) reproduces the desc-mentions/asc-uri tie-break with
+    map-side partial aggregation and ONE exchange — a
+    Window.partitionBy(conv_id) after the (conv_id, entity_uri) groupBy
+    would force a second full shuffle plus a sort.
     """
     cand = (
         detect_mentions(transcripts, pattern)
@@ -47,13 +57,18 @@ def link_entities(
         .groupBy("conv_id", "entity_uri")
         .agg(F.count(F.lit(1)).cast("long").alias("mentions"))
     )
-    w = Window.partitionBy("conv_id").orderBy(
-        F.desc("mentions"), F.asc("entity_uri")
+    best = cand.groupBy("conv_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("mentions")).alias("neg_mentions"),
+                F.col("entity_uri").alias("entity_uri"),
+            )
+        ).alias("best")
     )
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("conv_id", "entity_uri", "mentions")
+    return best.select(
+        "conv_id",
+        F.col("best.entity_uri").alias("entity_uri"),
+        (-F.col("best.neg_mentions")).cast("long").alias("mentions"),
     )
 
 

@@ -56,3 +56,24 @@ def test_relative_resolves_back(base, uri, expected):
     if base == "foo:":
         return
     assert resolve_uri(base, expected) == uri
+
+
+def test_reference_quirks_pinned():
+    """Three behaviors a reviewer flagged as RFC-divergent are the
+    REFERENCE's own, verified in its C source, and deliberately ported:
+
+    - resolve against an authority-only base (NULL path): the base is
+      non-hierarchical (rfc2396.c:199 is_hierarchical = path[0]=='/'),
+      so the ref path is copied verbatim (rfc2396.c:633) and _unsplit
+      concatenates it onto the authority; the '/'-substitution branch
+      is unreachable for this input.
+    - uri_to_relative drops the reference's empty relative form even
+      when the BASE carries a query the empty reference would resolve
+      back to (raptor_uri.c path-equal branch appends only the
+      REFERENCE's query/fragment).
+    """
+    from raptor_spark.kernel.uri import resolve_uri, uri_to_relative
+
+    assert resolve_uri("http://host", "a/b") == "http://hosta/b"
+    assert uri_to_relative("http://a/b?q", "http://a/b") == ""
+    assert uri_to_relative("http://a/b?q", "http://a/b#f") == "#f"

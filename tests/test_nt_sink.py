@@ -93,3 +93,21 @@ def test_fast_path_covers_ascii_rows(spark):
         nt_render_statement(Triple(*r), with_graph=True) for r in ascii_rows
     )
     assert got == want
+
+
+def test_backslash_uri_render_parse_asymmetry_is_reference_faithful():
+    """The reference writes '\\\\' for a backslash ANYWHERE — including
+    URIs (raptor_escaped.c:67-71, checked BEFORE the URI-escapes
+    branch) — while its N-Triples parser only allows \\u/\\U escapes
+    inside <> (raptor_ntriples.c:260 'illegal escape'). Both sides are
+    ported faithfully, so the render->parse asymmetry for
+    backslash-in-URI terms is pinned reference behavior, not a bug."""
+    from raptor_spark.kernel.ntriples import parse_document
+
+    line = nt_render_statement(
+        Triple("http://a/s", "http://a/b\\c", KIND_URI, "http://a/o",
+               None, None, None)
+    )
+    assert "<http://a/b\\\\c>" in line
+    _triples, errs = parse_document(line)
+    assert errs and "escape" in errs[0]["message"]
