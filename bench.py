@@ -90,6 +90,16 @@ INTRINSIC_STIME = {
 }
 
 
+def _machine_cpu():
+    """(user+nice, system+irq+softirq) jiffies from /proc/stat — the ONE
+    definition of the storm detector's kernel-share split; the burn
+    probe, the per-query windows, and the scaling rounds must all agree
+    on which fields count as 'kernel'."""
+    f = open("/proc/stat").readline().split()
+    # user nice system idle iowait irq softirq steal
+    return int(f[1]) + int(f[2]), int(f[3]) + int(f[6]) + int(f[7])
+
+
 def _burn_share(secs: float = 1.5) -> float:
     """Machine stime share during a pure-userspace spin — a host-state
     snapshot. NOTE (round-5 finding): the hypervisor storms here are
@@ -98,16 +108,12 @@ def _burn_share(secs: float = 1.5) -> float:
     detector; it documents the window's ambient state only."""
     import time as _t
 
-    def _cpu():
-        f = open("/proc/stat").readline().split()
-        return int(f[1]) + int(f[2]), int(f[3]) + int(f[6]) + int(f[7])
-
-    u0, s0 = _cpu()
+    u0, s0 = _machine_cpu()
     t0 = _t.time()
     x = 0
     while _t.time() - t0 < secs:
         x += 1
-    u1, s1 = _cpu()
+    u1, s1 = _machine_cpu()
     du, ds = u1 - u0, s1 - s0
     return round(ds / (du + ds) if du + ds > 0 else 0.0, 3)
 
@@ -198,7 +204,6 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     # steady-state estimate and the loadavg_* fields below record how
     # contended the window actually was
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "2")))
-    timings = {}
     extra = {}
     try:
         extra["loadavg_start"] = float(open("/proc/loadavg").read().split()[0])
@@ -213,11 +218,6 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     # engine. Measured PER QUERY so the retry logic below can re-run
     # exactly the contaminated queries (the round-3 whole-window retry
     # could never fire: the full headline loop always outran its budget).
-    def _machine_cpu():
-        f = open("/proc/stat").readline().split()
-        u, nn, s = int(f[1]), int(f[2]), int(f[3])
-        return u + nn, s + int(f[6]) + int(f[7])
-
     # eager-at-construction queries record their build/train seconds in
     # module stats dicts; the bench copies the value from the repeat that
     # produced the reported (min) timing so build vs read/search compare
@@ -233,29 +233,35 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
 
     def _time_query(name):
         """min-of-`repeats` timing for one query, plus the machine-wide
-        kernel-time share over this query's whole window and the build
-        stat of the best repeat."""
-        try:
-            u0, s0 = _machine_cpu()
-        except OSError:
-            u0 = None
-        best, n, build = None, None, None
+        kernel-time share of THE REPEAT THAT PRODUCED the kept (min)
+        timing and that repeat's build stat. The share must be measured
+        per repeat, not over the whole multi-repeat window: one stormy
+        repeat next to a clean kept min would otherwise flag a clean
+        timing dirty forever (retries only replace the share when they
+        also beat the min)."""
+        best, n, build, best_share = None, None, None, None
         for _ in range(repeats):
+            try:
+                u0, s0 = _machine_cpu()
+            except OSError:
+                u0 = None
             t0 = time.time()
             df = call(name, sf_dir)
             n = df.count()
             dt = time.time() - t0
+            share = None
+            if u0 is not None:
+                try:
+                    u1, s1 = _machine_cpu()
+                    du, ds = u1 - u0, s1 - s0
+                    share = round(
+                        ds / (du + ds) if du + ds > 0 else 0.0, 3
+                    )
+                except OSError:
+                    pass
             if best is None or dt < best:
-                best, build = dt, _build_stat(name)
-        share = None
-        if u0 is not None:
-            try:
-                u1, s1 = _machine_cpu()
-                du, ds = u1 - u0, s1 - s0
-                share = round(ds / (du + ds) if du + ds > 0 else 0.0, 3)
-            except OSError:
-                pass
-        return round(best, 3), n, share, build
+                best, build, best_share = dt, _build_stat(name), share
+        return round(best, 3), n, best_share, build
 
     timings, shares, builds = {}, {}, {}
     try:
@@ -365,14 +371,19 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
         # fixed per-job cost: the same flagship plan on a near-empty
         # input (sf0.001) isolates planning + AQE + stage scheduling +
         # Arrow worker spin-up — the constant that bounds wide-side
-        # scaling at small sf and amortizes away at deployment scale
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            QUERIES["kg_pipeline_iceberg"](spark, WARMUP_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        extra["flagship_fixed_cost_sec"] = round(best, 3)
+        # scaling at small sf and amortizes away at deployment scale.
+        # try/except like every other post-timing decoration: a late
+        # failure here must not discard the whole session's timings
+        try:
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                QUERIES["kg_pipeline_iceberg"](spark, WARMUP_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            extra["flagship_fixed_cost_sec"] = round(best, 3)
+        except Exception:
+            pass
     total = round(sum(timings.values()), 3)
     if extra.get("kg_pipeline_rows") and timings.get("kg_pipeline"):
         extra["kg_triples_per_sec"] = int(
@@ -399,25 +410,20 @@ def run_bench(sf_dir: str, cpus: str, headline) -> dict:
     # 8-member exact-dup clique (8x-replicated sf0.01 corpus)
     if "dedup_clusters" in headline:
         try:
-            import tempfile
-
-            from pyspark.sql import functions as F
+            import importlib.util as _ilu
 
             from raptor_spark import queries as Q
 
             extra["dedup_clusters_rounds"] = Q.CLUSTER_STATS["rounds"]
-            docs = spark.read.parquet(
-                "/root/testdata/sf0.01/documents.parquet"
+            # reuse capstress's CACHED id-shift replication (one shared
+            # /tmp copy keyed by source digest) instead of rebuilding
+            # into a fresh leaked tempdir on every bench run
+            _spec = _ilu.spec_from_file_location(
+                "rsp_capstress", os.path.join(_REPO, "tools", "capstress.py")
             )
-            n_d = docs.count()
-            big = None
-            for i in range(8):
-                d = docs.withColumn(
-                    "doc_id", F.col("doc_id") + F.lit(i * n_d * 10)
-                )
-                big = d if big is None else big.unionByName(d)
-            rep_dir = tempfile.mkdtemp(prefix="rsp_bench_x8_")
-            big.write.parquet(f"{rep_dir}/documents.parquet")
+            _cap = _ilu.module_from_spec(_spec)
+            _spec.loader.exec_module(_cap)
+            rep_dir = _cap._replicate(spark, "/root/testdata/sf0.01", 8)
             t0 = time.time()
             QUERIES["dedup_clusters"](spark, rep_dir).count()
             extra["dedup_clusters_x8_sec"] = round(time.time() - t0, 3)
@@ -567,23 +573,27 @@ def run_scaling(sf_dir: str) -> dict:
     # 40-80%. The bench is the only workload in this guest, so machine-
     # wide /proc/stat deltas capture the whole subprocess tree — JVM,
     # Python workers and all — including after the children exit.)
-    def _machine_cpu():
-        f = open("/proc/stat").readline().split()
-        # user nice system idle iowait irq softirq steal
-        u, n, s = int(f[1]), int(f[2]), int(f[3])
-        irq, sirq = int(f[6]), int(f[7])
-        return u + n, s + irq + sirq
-
     def _run_side(cpus, cpu_set):
         u0, s0 = _machine_cpu()
         p = launch(cpus, cpu_set)
-        out, _ = p.communicate()
+        out, err = p.communicate()
         if p.returncode:
-            raise RuntimeError("scaling subprocess failed")
+            raise RuntimeError(
+                "scaling subprocess (local[%d]) failed rc=%d: %s"
+                % (cpus, p.returncode, (err or "")[-2000:])
+            )
         u1, s1 = _machine_cpu()
         du, ds = u1 - u0, s1 - s0
         share = ds / (du + ds) if du + ds > 0 else 0.0
-        return json.loads(out.strip().splitlines()[-1]), round(share, 3)
+        try:
+            parsed = json.loads(out.strip().splitlines()[-1])
+        except (json.JSONDecodeError, IndexError) as e:
+            raise RuntimeError(
+                "scaling subprocess (local[%d]) produced no JSON "
+                "result line (%s); stderr tail: %s"
+                % (cpus, e, (err or "")[-2000:])
+            ) from e
+        return parsed, round(share, 3)
 
     STORM_STIME_SHARE = 0.15
     pairs = []
@@ -601,8 +611,12 @@ def run_scaling(sf_dir: str) -> dict:
         t8, t32 = r8["queries"][flag], r32["queries"][flag]
         is_clean = max(ks_lo, ks_hi) < STORM_STIME_SHARE
         clean += is_clean
+        # efficiency = speedup / core ratio — derived from the actual
+        # pair (a hardcoded 4.0 would mis-scale any SPARK_GRAFT_SCALE_PAIR
+        # other than the default 2,8)
+        core_ratio = int(hi) / int(lo)
         pairs.append(
-            (t8, t32, (t8 / t32) / 4.0, r32,
+            (t8, t32, (t8 / t32) / core_ratio, r32,
              (round(load_lo, 2), round(load_hi, 2)),
              (ks_lo, ks_hi), is_clean)
         )
@@ -639,6 +653,11 @@ def run_scaling(sf_dir: str) -> dict:
             "total_rounds": len(pairs),
         },
     }
+    if result["sf"] != 0.1:
+        # only evidence-scale sessions may touch BENCH/BASELINE.md: an
+        # ad-hoc smoke run at another sf would append an incomparable
+        # session to the committed cross-session history
+        return result
     os.makedirs(os.path.join(_REPO, "BENCH"), exist_ok=True)
     md_path = os.path.join(_REPO, "BENCH", "BASELINE.md")
     # carry the session-median history across rewrites so the recorded
@@ -693,7 +712,8 @@ def run_scaling(sf_dir: str) -> dict:
             f"| local[{lo}] | {t8} | {int(tput8)} |\n"
             f"| local[{hi}] | {t32} | {int(tput32)} |\n\n"
             f"rows: {rows}\n\n"
-            f"**efficiency = (rows/s @{hi}) / (4 x rows/s @{lo}) = "
+            f"**efficiency = (rows/s @{hi}) / ({int(hi) // int(lo)} x "
+            f"rows/s @{lo}) = "
             f"{eff:.3f}**\n"
             f"(median over storm-free rounds; all rounds: "
             f"{[round(p[2], 3) for p in pairs]};\n"
@@ -800,15 +820,25 @@ def main():
     ]
     if "--scaling" in sys.argv:
         result = run_scaling(sf_dir)
-        _persist(result, "scaling")
+        if result.get("sf") == 0.1:
+            _persist(result, "scaling")
         print(json.dumps(result))
         return
     result = run_bench(sf_dir, cpus, headline)
     # only full headline runs AT THE EVIDENCE SCALE overwrite the
     # persisted evidence (scaling subprocesses run single-query benches
     # through this same entry; ad-hoc sf0.01 smoke runs must not clobber
-    # the committed sf0.1 window)
-    if set(headline) == set(HEADLINE) and result.get("sf") == 0.1:
+    # the committed sf0.1 window). An inherited
+    # RAPTOR_SPARK_BENCH_REPLICATE>1 (scaling sessions export it per
+    # CLAUDE.md) times a 4x-larger job — incomparable with the plain
+    # series, so it must never overwrite it either.
+    replicate = int(os.environ.get("RAPTOR_SPARK_BENCH_REPLICATE", "1"))
+    result.setdefault("extra", {})["replicate"] = replicate
+    if (
+        set(headline) == set(HEADLINE)
+        and result.get("sf") == 0.1
+        and replicate == 1
+    ):
         _persist(result, "plain")
     print(json.dumps(result))
 

@@ -42,7 +42,13 @@ def _replicate(spark, sf_dir: str, k: int) -> str:
 
     if k == 1:
         return sf_dir
-    key = "%s_x%d" % (os.path.basename(sf_dir.rstrip("/")), k)
+    # keyed by path digest + parquet mtimes, NOT basename: a basename
+    # key silently reuses a stale replica after the source is
+    # regenerated in place (and collides across dirs sharing a name),
+    # which would compare x1-vs-x8 growth across two different corpora
+    from raptor_spark.sources.transcripts import _sf_cache_key
+
+    key = "%s_x%d" % (_sf_cache_key(sf_dir), k)
     out = os.path.join(tempfile.gettempdir(), "rsp_capstress_" + key)
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):

@@ -61,6 +61,13 @@ def main():
 
     from raptor_spark.queries import ORACLES, QUERIES
 
+    # a typo'd query name must FAIL the sweep, not silently check
+    # nothing and exit 0 (this tool is a verification gate)
+    unknown = sorted(only - set(QUERIES))
+    if unknown:
+        print("unknown queries: %s" % ", ".join(unknown))
+        sys.exit(2)
+
     failures = 0
     for name, fn in QUERIES.items():
         if only and name not in only:

@@ -75,15 +75,21 @@ def main() -> None:
         entities=entities,
     )
     rows = manifest.collect()
+    # counters are NULLABLE by design: link_decisions is null when the
+    # job runs without --link, and linking-catch-up rows carry null
+    # convs/triples/errors/turns (that work did not run in those rows) —
+    # sum them as 0, don't crash on None
     print(
         json.dumps(
             {
                 "buckets_completed": len(rows),
-                "convs": sum(r.convs for r in rows),
-                "turns": sum(r.turns for r in rows),
-                "triples": sum(r.triples for r in rows),
-                "errors": sum(r.errors for r in rows),
-                "link_decisions": sum(r.link_decisions for r in rows),
+                "convs": sum(r.convs or 0 for r in rows),
+                "turns": sum(r.turns or 0 for r in rows),
+                "triples": sum(r.triples or 0 for r in rows),
+                "errors": sum(r.errors or 0 for r in rows),
+                "link_decisions": sum(
+                    r.link_decisions or 0 for r in rows
+                ),
                 "out": args.out,
             }
         )
