@@ -172,3 +172,29 @@ def test_rdfxml_bad():
         if not errs:
             passes.append(f)
     assert not passes, passes
+
+
+def test_non_utf8_document_roundtrips_through_string_transport():
+    """A document in a non-UTF-8 encoding declared by its XML decl must
+    survive the fixture-loader transport (bytes -> str via
+    surrogateescape -> parse): the kernel re-encodes with
+    surrogateescape FIRST, reconstructing the ORIGINAL bytes so expat
+    can honor the declared encoding (the previous surrogatepass
+    re-encode mangled 0x80-0xFF into invalid UTF-8 and rejected the
+    document)."""
+    from raptor_spark.kernel import rdfxml
+
+    raw = (
+        '<?xml version="1.0" encoding="ISO-8859-1"?>'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        '<rdf:Description rdf:about="http://e/x" rdf:value="caf\xe9"/>'
+        "</rdf:RDF>"
+    ).encode("latin-1")
+    text = raw.decode("utf-8", "surrogateescape")
+    triples, errs = rdfxml.parse_document(text)
+    assert not errs
+    assert [t.obj_lex for t in triples] == ["café"]
+    # lone HIGH surrogates (fuzz inputs) still take the surrogatepass
+    # fallback and yield an error record, not a crash
+    _t2, errs2 = rdfxml.parse_document("<a>\ud800</a>")
+    assert errs2
