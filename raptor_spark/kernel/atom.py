@@ -22,6 +22,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 from raptor_spark.kernel.rss import (
     _ATOM_TO_RSS,
     _FIELD_NAMES,
+    _field_uri,
     _NS_PREFIX,
     _NS_URI,
     _TYPES,
@@ -74,12 +75,18 @@ F_ATOM_SOURCE = 58
 _FEEDMAP_FROM = (F_ATOM_ID, F_ATOM_UPDATED, F_ATOM_RIGHTS, F_ATOM_TITLE)
 
 
-def _field_uri(f: int) -> Optional[str]:
-    if f is None or f < 0:
-        return None
-    name, nsid, _fl, _bt = _FIELD_NAMES[f]
-    ns = _NS_URI[nsid]
-    return (ns + name) if ns else None
+#: pred URI -> field index, built once (the intake paths previously
+#: rebuilt all ~100 field URIs by string concatenation PER STATEMENT —
+#: O(statements x fields) inside the per-feed Arrow kernel). First
+#: field wins on duplicate URIs, matching the ascending scan it replaces.
+_FIELD_OF_URI: dict = {}
+for _f in range(len(_FIELD_NAMES)):
+    _u = _field_uri(_f)
+    if _u is not None and _u not in _FIELD_OF_URI:
+        _FIELD_OF_URI[_u] = _f
+del _f, _u
+
+_F_ITEMS_URI = _field_uri(F_ITEMS)
 
 
 def _xml_escape_text(s: str) -> str:
@@ -186,11 +193,15 @@ def _qname_for(uri: str, default_nsid: int = ATOM10_NS) -> Optional[str]:
         if ns and uri.startswith(ns) and len(uri) > len(ns):
             local = uri[len(ns):]
             if local and "/" not in local and "#" not in local:
-                if nsid == default_nsid and nsid != ATOM10_NS:
+                if nsid == default_nsid:
+                    # the root element's DEFAULT namespace renders as a
+                    # bare local name — for the atom serializer that is
+                    # the atom namespace itself, whose 'atom:' prefix
+                    # the root deliberately never declares (the old
+                    # `nsid != ATOM10_NS` guard forced the prefixed
+                    # form there, namespace-ill-formed XML)
                     return local
                 return "%s:%s" % (prefix, local)
-    if default_nsid == ATOM10_NS and uri.startswith(_NS_URI[ATOM10_NS]):
-        return uri[len(_NS_URI[ATOM10_NS]):]
     return None
 
 
@@ -232,7 +243,7 @@ class AtomSerializer:
         return None
 
     def statement(self, t: Triple) -> None:
-        if t.pred == _field_uri(F_ITEMS):
+        if t.pred == _F_ITEMS_URI:
             return  # (? rss:items ?) is inferred
         if t.pred == RDF_NS + "type":
             if t.obj_kind == KIND_URI:
@@ -266,6 +277,12 @@ class AtomSerializer:
         else:
             item = _Item()
             self.common.setdefault(type_i, []).append(item)
+        # URI subjects only, EXACTLY like the reference
+        # (raptor_serialize_rss.c:938 `item && subject->type ==
+        # RAPTOR_TERM_TYPE_URI`): a bnode-subject typed node leaves the
+        # freshly-appended empty item in common/enclosures and falls
+        # through to the triple store — reference-faithful, including
+        # that side effect
         if item is not None and not t.subj.startswith("_:"):
             item.uri = t.subj
             item.term = t.subj
@@ -312,10 +329,8 @@ class AtomSerializer:
     def _store(self, t: Triple) -> None:
         item = self.group.get(self._subject_key(t))
         if item is not None and t.obj_kind in (KIND_URI, KIND_LITERAL):
-            for f in range(len(_FIELD_NAMES)):
-                pu = _field_uri(f)
-                if pu is None or pu != t.pred:
-                    continue
+            f = _FIELD_OF_URI.get(t.pred)
+            if f is not None:
                 f2, field = self._make_field(t, f)
                 f2 = self._rewrite_rss_to_atom(item, f2, field)
                 item.add_field(f2, field)
@@ -333,18 +348,13 @@ class AtomSerializer:
                 item.triples.append(t)
                 self.pool[i] = None
                 continue
-            matched = False
-            for f in range(len(_FIELD_NAMES)):
-                pu = _field_uri(f)
-                if pu is None or pu != t.pred:
-                    continue
+            f = _FIELD_OF_URI.get(t.pred)
+            if f is not None:
                 f2, field = self._make_field(t, f)
                 f2 = self._rewrite_rss_to_atom(item, f2, field)
                 item.add_field(f2, field)
                 self.pool[i] = None
-                matched = True
-                break
-            if not matched:
+            else:
                 item.triples.append(t)
                 self.pool[i] = None
 
@@ -460,8 +470,7 @@ class AtomSerializer:
 
     def _emit_abbrev_props(self, w, subject, stmts, seen) -> None:
         for t in stmts:
-            subj_key = "_:" + t.subj[2:] if t.subj.startswith("_:") else t.subj
-            if subj_key != subject:
+            if t.subj != subject:
                 continue
             if t.pred == RDF_NS + "type":
                 continue  # the single node is never written as a typed node
@@ -693,9 +702,11 @@ def to_atom(
 
 # -- rss-1.0 mode ----------------------------------------------------------
 
-F_RDF_ENCLOSURE_URL = 26
-F_RDF_ENCLOSURE_LENGTH = 27
-F_RDF_ENCLOSURE_TYPE = 28
+from raptor_spark.kernel.rss import (  # noqa: E402 (near first use)
+    F_RDF_ENCLOSURE_LENGTH,
+    F_RDF_ENCLOSURE_TYPE,
+    F_RDF_ENCLOSURE_URL,
+)
 
 from raptor_spark.kernel.rss import RSS10_NS  # noqa: E402
 

@@ -549,8 +549,12 @@ def to_turtle_exact(
             and blank is not None
             and obj not in invalid
         ):
-            emit_subject(obj, blank, depth + 1)
+            # mark BEFORE recursing: a reference cycle re-entering this
+            # node mid-emission must render the named form instead of
+            # recursing forever (byte-identical for acyclic graphs —
+            # a node cannot be re-encountered during its own emission)
             invalid.add(obj)
+            emit_subject(obj, blank, depth + 1)
         else:
             w.raw("_:" + obj[1])
 
@@ -581,7 +585,13 @@ def to_turtle_exact(
         w.level += 1
         first = True
         node = subj
+        seen = set()
         while True:
+            if node in seen:
+                # cyclic rdf:rest chain: stop the walk (the visited
+                # nodes stay marked invalid, so nothing re-emits them)
+                break
+            seen.add(node)
             props = dict(
                 sorted(
                     blank_subjects.get(node, uri_subjects.get(node, ())),
@@ -624,7 +634,7 @@ def to_turtle_exact(
         else:
             c_obj = count_as_object[subj]
             if c_obj == 1 and depth > 1:
-                blank = True
+                pass  # inline anonymous form (blank stays True)
             elif c_obj == 0:
                 w.raw("[]")
                 blank = False
@@ -657,6 +667,24 @@ def to_turtle_exact(
             # inlined at its reference point (emitted there)
             continue
         emit_subject(subj, blank_subjects[subj], 0)
+
+    # dangling recovery (mirrors to_turtle): a blank subject skipped as
+    # "inlined at its reference point" whose reference site itself was
+    # never emitted (orphan reference cycles like '_:a p _:b . _:b p
+    # _:a .') must still be emitted top-level in NAMED form, or its
+    # statements silently vanish from the output
+    for subj in sorted(blank_subjects, key=_ttlx_term_key):
+        if subj in invalid or count_as_object[subj] != 1:
+            continue
+        invalid.add(subj)
+        w.raw("_:" + subj[1])
+        w.level += 1
+        w.newline()
+        emit_properties(blank_subjects[subj], 1)
+        w.level -= 1
+        w.raw(" .")
+        w.newline()
+        w.newline()
 
     return "".join(w.parts)
 
@@ -702,7 +730,15 @@ def to_rdfxml(triples: Iterable[Triple]) -> str:
             subj_attr = 'rdf:nodeID="%s"' % _xml_attr(t.subj[2:])
         else:
             subj_attr = 'rdf:about="%s"' % _xml_attr(t.subj)
-        ns, local = split_predicate(t.pred)
+        try:
+            ns, local = split_predicate(t.pred)
+        except ValueError:
+            # reference: "Cannot split predicate URI ... into an XML
+            # qname - skipping statement"
+            # (src/raptor_serialize_rdfxml.c:380) — skip, never abort
+            # the document (one bad predicate would otherwise kill the
+            # whole Arrow batch in the distributed sink)
+            continue
         open_tag = '<ns0:%s xmlns:ns0="%s"' % (local, _xml_attr(ns))
         if t.obj_kind == KIND_URI:
             body = '%s rdf:resource="%s"/>' % (open_tag, _xml_attr(t.obj_lex))
@@ -769,7 +805,12 @@ def to_rdfxml_abbrev(triples: Iterable[Triple]) -> str:
             open_extra = ""
         props: List[str] = []
         for t in rest:
-            ns, local = split_predicate(t.pred)
+            try:
+                ns, local = split_predicate(t.pred)
+            except ValueError:
+                # skip like the reference (raptor_serialize_rdfxmla.c:553
+                # "Cannot split URI ... into an XML qname")
+                continue
             p = prefix_for(ns)
             open_tag = '<%s:%s xmlns:%s="%s"' % (p, local, p, _xml_attr(ns))
             if t.obj_kind == KIND_URI:
@@ -1031,8 +1072,12 @@ def to_mkr(
             and blank is not None
             and obj not in invalid
         ):
-            emit_subject(obj, blank, depth + 1)
+            # mark BEFORE recursing: a reference cycle re-entering this
+            # node mid-emission must render the named form instead of
+            # recursing forever (byte-identical for acyclic graphs —
+            # a node cannot be re-encountered during its own emission)
             invalid.add(obj)
+            emit_subject(obj, blank, depth + 1)
         else:
             w.raw("_:" + obj[1])
             if not st["resultset"]:
@@ -1060,7 +1105,13 @@ def to_mkr(
         w.level += 1
         first = True
         node = subj
+        seen = set()
         while True:
+            if node in seen:
+                # cyclic rdf:rest chain: stop the walk (the visited
+                # nodes stay marked invalid, so nothing re-emits them)
+                break
+            seen.add(node)
             props = dict(sorted_props(
                 blank_subjects.get(node, uri_subjects.get(node, ()))
             ))
@@ -1163,7 +1214,6 @@ def to_mkr(
     def emit_subject(subj, props, depth):
         if not props:
             return
-        spo = sorted(set(po[0] for po in props), key=_ttlx_term_key)
         collection = False
         if len(props) >= 2:
             sp = sorted_props(props)
@@ -1187,7 +1237,7 @@ def to_mkr(
         else:
             c_obj = count_as_object[subj]
             if c_obj == 1 and depth > 1:
-                blank = True
+                pass  # inline anonymous form (blank stays True)
             elif c_obj == 0:
                 w.raw("{}")
                 blank = False
@@ -1220,7 +1270,6 @@ def to_mkr(
                 w.newline()
                 w.newline()
             st["resultset"] = False
-        _ = spo
 
     for subj in sorted(uri_subjects, key=_ttlx_term_key):
         if subj not in invalid:
@@ -1231,6 +1280,24 @@ def to_mkr(
         if count_as_object[subj] == 1:
             continue
         emit_subject(subj, blank_subjects[subj], 0)
+
+    # dangling recovery (mirrors to_turtle): a blank subject skipped as
+    # "inlined at its reference point" whose reference site itself was
+    # never emitted (orphan reference cycles like '_:a p _:b . _:b p
+    # _:a .') must still be emitted top-level in NAMED form, or its
+    # statements silently vanish from the output
+    for subj in sorted(blank_subjects, key=_ttlx_term_key):
+        if subj in invalid or count_as_object[subj] != 1:
+            continue
+        invalid.add(subj)
+        w.raw("_:" + subj[1])
+        w.level += 1
+        w.newline()
+        emit_properties(blank_subjects[subj], 1)
+        w.level -= 1
+        w.raw(" .")
+        w.newline()
+        w.newline()
 
     return "".join(w.parts)
 
