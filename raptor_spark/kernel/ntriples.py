@@ -210,10 +210,6 @@ def _scan_turtle_number(s: str, i: int) -> Tuple[str, str, int]:
     return "".join(out), dtype, i
 
 
-class Term(Tuple):
-    pass
-
-
 def parse_term(s: str, i: int, allow_turtle: bool = False, errors=None):
     """Parse one term at ``s[i]``.
 

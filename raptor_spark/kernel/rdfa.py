@@ -911,7 +911,14 @@ class RdfaParser:
     def run(self, data) -> None:
         if isinstance(data, str):
             try:
-                data = data.encode("utf-8")
+                try:
+                    # surrogateescape FIRST (same contract as the rdfxml
+                    # kernel): it inverts the fixture loaders' string
+                    # transport, so non-UTF-8 document bytes reach the
+                    # tokenizer in their original form
+                    data = data.encode("utf-8", "surrogateescape")
+                except UnicodeEncodeError:
+                    data = data.encode("utf-8")
             except UnicodeEncodeError as e:
                 # lone surrogates are not encodable text — an input
                 # error record, never a crash (same contract as the

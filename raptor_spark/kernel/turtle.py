@@ -150,20 +150,31 @@ class TurtleParser:
         self.text = ""
         self.pos = 0
         self.line = 1
+        self._stmt_mark = 0
+        self._fast_miss_pos = -1
 
     # ----- driver -------------------------------------------------------
 
     def parse(self, text: str) -> Tuple[List[Triple], List[dict]]:
         self.text = text
         self.pos = 0
+        self._fast_miss_pos = -1  # per-document: offsets don't carry over
         n = len(text)
         while True:
             self._skip_ws()
             if self.pos >= n:
                 break
+            self._stmt_mark = len(self.triples)
             try:
                 self._statement()
             except ParseError as e:
+                # the reference emits a statement's triples only at the
+                # dotTriplesList REDUCTION (turtle_parser.y:292-304), so
+                # a statement that errors mid-parse contributes nothing
+                # — discard this statement's partial emissions (the
+                # mark is re-set per inner statement of a TriG block,
+                # whose earlier statements already reduced)
+                del self.triples[self._stmt_mark:]
                 self.errors.append({"line": self.line, "message": e.message})
                 self._recover()
         return self.triples, self.errors
@@ -434,6 +445,12 @@ class TurtleParser:
             prefix, local = tok.split(":", 1)
             if prefix and not _is_pn_chars_base(prefix[0]):
                 raise ParseError("syntax error at '%s'" % tok, self.line)
+            if prefix.endswith("."):
+                # flex PN_PREFIX cannot END in '.' (turtle_lexer.l:197:
+                # '({PN_CHARS_BASE})(({PN_CHARS}|".")*({PN_CHARS}))*');
+                # only the LOCAL part's trailing dots are given back
+                # above — a dot-final prefix is a syntax error
+                raise ParseError("syntax error at '%s'" % tok, self.line)
             if local[:1] in ("-", "."):
                 raise ParseError("syntax error at '%s'" % tok, self.line)
         return tok
@@ -489,6 +506,9 @@ class TurtleParser:
         if m is not None and self._fast_statement(m):
             self.pos += 1  # the '.' the lookahead guaranteed
             return
+        # remember the miss so _triples (reached through the directive
+        # fall-through below) doesn't pay the same regex scan twice
+        self._fast_miss_pos = self.pos
         c = self._peek()
         if c == "@":
             nxt = self.text[self.pos + 1 : self.pos + 8]
@@ -654,6 +674,8 @@ class TurtleParser:
                     break
                 if self.pos >= len(self.text):
                     raise ParseError("EOF inside { ... }", self.line)
+                # per-inner-statement discard granularity (see parse())
+                self._stmt_mark = len(self.triples)
                 self._triples()
                 self._skip_ws()
                 if self._peek() == ".":
@@ -667,9 +689,10 @@ class TurtleParser:
             self.graph = None
 
     def _triples(self) -> None:
-        m = _FAST_STMT_RE.match(self.text, self.pos)
-        if m is not None and self._fast_statement(m):
-            return
+        if self.pos != self._fast_miss_pos:
+            m = _FAST_STMT_RE.match(self.text, self.pos)
+            if m is not None and self._fast_statement(m):
+                return
         c = self._peek()
         if c == "[":
             # blankNodePropertyList subject; predicateObjectList optional
@@ -893,9 +916,38 @@ class TurtleParser:
         lex = self._read_string()
         lang: Optional[str] = None
         dt: Optional[str] = None
+        # LANGTAG and '^^' are separate TOKENS in the reference
+        # (turtle_lexer.l:193,512; grammar 'literal: STRING LANGTAG',
+        # turtle_parser.y:887), so whitespace/comments may precede them
+        # — byte-adjacency is not required. The flex file lists the
+        # "@prefix"/"@base" keyword rules BEFORE {LANGTAG}, so an exact
+        # '@prefix'/'@base' (nothing extending the tag) lexes as the
+        # keyword and is a syntax error after a literal, never a
+        # language tag.
+        # speculative skips must restore LINE as well as pos: the
+        # statement parser re-skips the same whitespace and would
+        # double-count its newlines otherwise (caught by the
+        # fast-vs-grammar differential fuzz on error line numbers)
+        save, save_line = self.pos, self.line
+        self._skip_ws()
         if self._peek() == "@":
             self.pos += 1
             lang = self._read_langtag()
+            if lang in ("prefix", "base"):
+                raise ParseError(
+                    "syntax error at '@%s' (directive keyword after "
+                    "literal)" % lang,
+                    self.line,
+                )
+            save, save_line = self.pos, self.line
+        else:
+            self.pos, self.line = save, save_line
+        self._skip_ws()
+        if self.text[self.pos : self.pos + 2] != "^^":
+            # no datatype: leave the cursor at the end of the literal
+            # (post-langtag or post-string) — trailing whitespace
+            # belongs to the statement parser
+            self.pos, self.line = save, save_line
         if self.text[self.pos : self.pos + 2] == "^^":
             self.pos += 2
             if lang is not None:

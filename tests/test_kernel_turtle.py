@@ -135,3 +135,58 @@ def test_legacy_trig_eval_vs_reference_output():
         if not graphs_isomorphic(triples, gold):
             fails.append((f, "not isomorphic"))
     assert not fails, fails
+
+
+def test_whitespace_separated_langtag_and_datatype():
+    """LANGTAG and '^^' are separate tokens in the reference
+    (turtle_lexer.l:193,512; 'literal: STRING LANGTAG'
+    turtle_parser.y:887) — whitespace between the closing quote and the
+    tag/caret is accepted; '@prefix'/'@base' there is the directive
+    KEYWORD (flex lists those rules first), a syntax error."""
+    from raptor_spark.kernel.turtle import parse_document
+
+    t, e = parse_document('<http://a/s> <http://a/p> "x" @en .')
+    assert not e and [(x.obj_lex, x.obj_lang) for x in t] == [("x", "en")]
+    t, e = parse_document('<http://a/s> <http://a/p> "x" ^^ <http://dt> .')
+    assert not e and t[0].obj_datatype == "http://dt"
+    # the keyword forms error in both adjacency variants
+    for doc in ('<http://a/s> <http://a/p> "x"@prefix .',
+                '<http://a/s> <http://a/p> "x" @base .'):
+        t, e = parse_document(doc)
+        assert e and not t, doc
+    # ...but a tag that merely EXTENDS a keyword is a langtag
+    t, e = parse_document('<http://a/s> <http://a/p> "x" @prefixx .')
+    assert not e and t[0].obj_lang == "prefixx"
+
+
+def test_errored_statement_emits_no_partial_triples():
+    """The reference reduces a statement's triples only at
+    dotTriplesList (turtle_parser.y:292-304): a statement that errors
+    mid-parse contributes NOTHING, even if its first objects were
+    already scanned."""
+    from raptor_spark.kernel.turtle import parse_document
+
+    t, e = parse_document('@prefix p: <http://p/> .\np:s p:q p:o1 , @@@ .')
+    assert len(e) == 1 and t == []
+    # statements BEFORE the bad one are kept
+    t, e = parse_document(
+        '@prefix p: <http://p/> .\np:a p:q p:b .\np:s p:q p:o1 , @@@ .'
+    )
+    assert len(e) == 1 and len(t) == 1 and t[0].subj == "http://p/a"
+
+
+def test_dot_final_prefix_rejected():
+    """flex PN_PREFIX cannot end in '.' (turtle_lexer.l:197), so
+    'pre.:' is a syntax error in both the @prefix directive and a
+    subject qname."""
+    from raptor_spark.kernel.turtle import parse_document
+
+    t, e = parse_document(
+        '@prefix pre.: <http://p/> .\npre.:x <http://v> <http://o> .'
+    )
+    assert not t and len(e) == 2
+    # interior dots remain legal
+    t, e = parse_document(
+        '@prefix p: <http://p/> .\np:a.b <http://v> <http://o> .'
+    )
+    assert not e and t[0].subj == "http://p/a.b"
