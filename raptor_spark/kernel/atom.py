@@ -89,12 +89,10 @@ del _f, _u
 _F_ITEMS_URI = _field_uri(F_ITEMS)
 
 
-def _xml_escape_text(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-
-def _xml_escape_attr(s: str) -> str:
-    return _xml_escape_text(s).replace('"', "&quot;")
+from raptor_spark.kernel.terms import (  # noqa: E402
+    xml_escape_attr as _xml_escape_attr,
+    xml_escape_text as _xml_escape_text,
+)
 
 
 class _XmlWriter:

@@ -193,7 +193,13 @@ def parse_document(
             )
             continue
         buf = (
-            data.decode("utf-8", "replace") if isinstance(data, bytes) else data
+            # surrogateescape, not 'replace': non-UTF-8 bytes in a
+            # linked text document round-trip through kernels that
+            # re-encode (rdfxml/rdfa) instead of becoming U+FFFD in
+            # emitted literals
+            data.decode("utf-8", "surrogateescape")
+            if isinstance(data, bytes)
+            else data
         )
         # the reference recurses with the "guess" parser; the linked
         # URI is the identifier (suffix scoring), there is no MIME type

@@ -130,12 +130,10 @@ class _Collector:
         self.depth = 0
 
 
-def _xml_escape(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-
-def _xml_attr_escape(s: str) -> str:
-    return _xml_escape(s).replace('"', "&quot;")
+from raptor_spark.kernel.terms import (  # noqa: E402
+    xml_escape_attr as _xml_attr_escape,
+    xml_escape_text as _xml_escape,
+)
 
 
 class RdfaParser:

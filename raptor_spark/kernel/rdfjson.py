@@ -91,7 +91,13 @@ def _term(obj, position: str) -> Tuple[int, str, Optional[str], Optional[str]]:
     if t == "bnode":
         return KIND_BLANK, v[2:] if v.startswith("_:") else v, None, None
     if t == "literal":
-        lex, dt, lg = make_literal(v, datatype, lang)
+        try:
+            lex, dt, lg = make_literal(v, datatype, lang)
+        except ValueError as e:
+            # e.g. both datatype and language: an input error record
+            # like every other malformed-term shape, not an exception
+            # out of the kernel
+            raise _Bad(str(e))
         return KIND_LITERAL, lex, dt, lg
     raise _Bad("unknown %s term type %r" % (position, t))
 
@@ -148,7 +154,7 @@ def parse_document(text: str) -> Tuple[List[Triple], List[dict]]:
             for subj, preds in data.items():
                 if not isinstance(preds, dict):
                     raise _Bad("subject %r value is not an object" % subj)
-                s = ("_:" + subj[2:]) if subj.startswith("_:") else subj
+                s = subj  # '_:' labels pass through verbatim
                 for pred, objs in preds.items():
                     if not isinstance(objs, list):
                         raise _Bad(

@@ -360,7 +360,17 @@ def parse_date(s: str) -> Optional[int]:
             return None
     iso = s
     offset = 0
-    if len(iso) >= 6 and iso[-3] == ":" and iso[-6] in "+-":
+    if (
+        len(iso) >= 6
+        and iso[-3] == ":"
+        and iso[-6] in "+-"
+        # digits required: a malformed date whose tail merely SHAPES
+        # like an offset ('foo-ab:cd') must fall through to the format
+        # loop and return None (the reference's parsedate grammar just
+        # fails to match), not raise ValueError out of the kernel
+        and iso[-5:-3].isdigit()
+        and iso[-2:].isdigit()
+    ):
         sign = -1 if iso[-6] == "-" else 1
         offset = sign * (int(iso[-5:-3]) * 3600 + int(iso[-2:]) * 60)
         iso = iso[:-6]
@@ -377,12 +387,10 @@ def format_iso_date(unix_time: int) -> str:
     return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(unix_time))
 
 
-def _xml_escape(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-
-def _xml_attr_escape(s: str) -> str:
-    return _xml_escape(s).replace('"', "&quot;")
+from raptor_spark.kernel.terms import (  # noqa: E402
+    xml_escape_attr as _xml_attr_escape,
+    xml_escape_text as _xml_escape,
+)
 
 
 class _Field:
@@ -875,10 +883,13 @@ class RssParser:
             self._emit_block_triples(item.term, block)
 
     def _emit_all(self) -> None:
+        # the FIRST channel in model order, like the reference's
+        # model.common[RAPTOR_RSS_CHANNEL] list head (raptor_rss.c:1374)
         channel = None
         for item in self.common.get(T_CHANNEL, ()):
             if item.fields_count:
                 channel = item
+                break
         if channel is None or channel.term is None:
             self.errors.append(
                 {"line": 0, "message": "No RSS channel item present"}
@@ -888,6 +899,19 @@ class RssParser:
             for item in lst:
                 if not item.fields_count:
                     continue
+                if item.term is None:
+                    # reference: parser error + ABORT the emit, keeping
+                    # the triples already produced (raptor_rss.c:
+                    # 1397-1402) — never a crash on identifier-less
+                    # nodes (e.g. an RSS 2.0 item with no link/guid)
+                    self.errors.append(
+                        {
+                            "line": 0,
+                            "message": "RSS %s has no identifier"
+                            % _TYPES[i][0],
+                        }
+                    )
+                    return
                 self._emit_item(item)
                 if i != T_CHANNEL:
                     self._emit_res(channel.term, _type_uri(i), item.term)
@@ -896,9 +920,17 @@ class RssParser:
             self._emit_res(seq, RDF_NS + "type", RDF_NS + "Seq")
             self._emit_res(channel.term, _field_uri(F_ITEMS), seq)
             for n, item in enumerate(self.items, 1):
+                if item.term is None:
+                    # raptor_rss_emit_type_triple(NULL): error + abort
+                    self.errors.append(
+                        {
+                            "line": 0,
+                            "message": "RSS node has no identifier",
+                        }
+                    )
+                    return
                 self._emit_item(item)
-                if item.term is not None:
-                    self._emit_res(seq, RDF_NS + "_%d" % n, item.term)
+                self._emit_res(seq, RDF_NS + "_%d" % n, item.term)
 
     # -- driver -------------------------------------------------------------
 
@@ -921,7 +953,14 @@ class RssParser:
     def run(self, data) -> None:
         if isinstance(data, str):
             try:
-                data = data.encode("utf-8")
+                try:
+                    # surrogateescape FIRST (same contract as the
+                    # rdfxml/rdfa kernels): inverts the string-column
+                    # transport so declared-encoding non-UTF-8 feeds
+                    # reach expat as their original bytes
+                    data = data.encode("utf-8", "surrogateescape")
+                except UnicodeEncodeError:
+                    data = data.encode("utf-8")
             except UnicodeEncodeError as e:
                 # lone surrogates: input error record, never a crash
                 self.errors.append({"line": 0, "message": str(e)})

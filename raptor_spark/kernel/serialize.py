@@ -712,12 +712,10 @@ def split_predicate(uri: str) -> Tuple[str, str]:
     return uri[:i], uri[i:]
 
 
-def _xml_escape(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-
-def _xml_attr(s: str) -> str:
-    return _xml_escape(s).replace('"', "&quot;")
+from raptor_spark.kernel.terms import (  # noqa: E402
+    xml_escape_attr as _xml_attr,
+    xml_escape_text as _xml_escape,
+)
 
 
 def to_rdfxml(triples: Iterable[Triple]) -> str:

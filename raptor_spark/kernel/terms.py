@@ -226,3 +226,14 @@ def check_ordinal(name: str) -> int:
         if ordinal > 2**31 - 1:
             return -1
     return ordinal
+
+
+def xml_escape_text(s: str) -> str:
+    """Minimal XML text escaping shared by every XML-emitting kernel
+    (rss/rdfa/atom/serialize) — ONE definition so the writers cannot
+    drift."""
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def xml_escape_attr(s: str) -> str:
+    return xml_escape_text(s).replace('"', "&quot;")

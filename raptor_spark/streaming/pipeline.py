@@ -38,8 +38,6 @@ def stream_build_graph(
 
     Returns the StreamingQuery (already terminated when
     ``await_termination`` is True)."""
-    from raptor_spark.pipeline import build_graph
-
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -48,20 +46,45 @@ def stream_build_graph(
 
     def process(batch_df, batch_id: int):
         from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
 
-        triples, errors = build_graph(batch_df, base_uri_col=base_uri_col)
-        # idempotent replay: each micro-batch owns its batch_id partition
-        # and dynamic-partition overwrite replaces exactly that partition,
-        # so a crash between the two writes + restart re-lands the same
-        # batch instead of double-appending (exactly-once, not at-least-once)
-        for df, sub in ((triples, "triples"), (errors, "errors")):
-            (
-                df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(os.path.join(out_dir, sub))
-            )
+        from raptor_spark.operators.canonical import relabel_bnodes
+        from raptor_spark.operators.parse import (
+            errors_of,
+            parse_documents,
+            triples_of,
+        )
+        from raptor_spark.operators.reassemble import reassemble
+
+        # the triples and errors writes are two independent ACTIONS
+        # whose shared lineage is dominated by the Arrow parse stage —
+        # persist the PARSED frame (their common ancestor, exactly like
+        # run_resumable) so each micro-batch pays the parse once, not
+        # once per write. Semantics identical to build_graph's default
+        # path: in-parse per-document dedup, then bnode relabeling.
+        extra = ("tool",) + ((base_uri_col,) if base_uri_col else ())
+        docs = reassemble(batch_df, extra_cols=extra)
+        parsed = parse_documents(
+            docs, base_uri_col=base_uri_col, dedup_per_doc=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            triples = relabel_bnodes(triples_of(parsed))
+            errors = errors_of(parsed)
+            # idempotent replay: each micro-batch owns its batch_id
+            # partition and dynamic-partition overwrite replaces exactly
+            # that partition, so a crash between the two writes +
+            # restart re-lands the same batch instead of
+            # double-appending (exactly-once, not at-least-once)
+            for df, sub in ((triples, "triples"), (errors, "errors")):
+                (
+                    df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(os.path.join(out_dir, sub))
+                )
+        finally:
+            parsed.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process)

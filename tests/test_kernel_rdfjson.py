@@ -38,3 +38,18 @@ def test_json_bad():
         if not errs:
             passes.append(f)
     assert not passes, passes
+
+
+def test_literal_with_lang_and_datatype_is_error_record():
+    """A literal carrying BOTH lang and datatype is a recorded input
+    error like every other malformed-term shape — make_literal's
+    ValueError must not escape the kernel (GRDDL recursion and direct
+    callers have no try/except)."""
+    from raptor_spark.kernel.rdfjson import parse_document
+
+    t, e = parse_document(
+        '{"http://s": {"http://p": [{"value":"x","type":"literal",'
+        '"lang":"en","datatype":"http://dt"}]}}'
+    )
+    assert t == [] and len(e) == 1
+    assert "both datatype and language" in e[0]["message"]

@@ -127,3 +127,48 @@ def test_parse_date_formats():
     assert RSS.parse_date("2003-06-10T04:00:00Z") == 1055217600
     assert RSS.parse_date("2003-06-10T04:00:00+02:00") == 1055210400
     assert RSS.parse_date("not a date") is None
+
+
+def test_identifierless_item_errors_not_crashes():
+    """An RSS 2.0 item with no link/guid/atom:id has no identifier: the
+    reference records 'RSS node has no identifier' and ABORTS the emit,
+    keeping the triples already produced (raptor_rss.c:1397-1402,
+    raptor_rss_emit_type_triple NULL check) — never a crash."""
+    from raptor_spark.kernel.rss import parse_document
+
+    t, e = parse_document(
+        '<rss version="2.0"><channel><title>c</title>'
+        "<link>http://x/</link><item><title>t</title></item>"
+        "</channel></rss>"
+    )
+    assert any("no identifier" in x["message"] for x in e)
+    # the channel's triples survive (emit aborts, it does not rollback)
+    assert any(x.subj == "http://x/" for x in t)
+
+
+def test_malformed_date_offset_returns_none():
+    """A date whose tail merely SHAPES like an ISO offset must fall
+    through to None (the reference's parsedate grammar fails to match),
+    not raise ValueError out of the kernel."""
+    from raptor_spark.kernel.rss import parse_date
+
+    assert parse_date("foo-ab:cd") is None
+    assert parse_date("2024-01-02T03:04:05+02:00") is not None
+
+
+def test_first_channel_wins_on_multichannel_soup():
+    """Two <channel> elements: connections attach to the FIRST channel
+    with fields, like the reference's model.common[CHANNEL] list head
+    (raptor_rss.c:1374)."""
+    from raptor_spark.kernel.rss import parse_document
+
+    t, e = parse_document(
+        '<rss version="2.0">'
+        "<channel><title>one</title><link>http://one/</link>"
+        "<item><title>i</title><link>http://one/i</link></item></channel>"
+        "<channel><title>two</title><link>http://two/</link></channel>"
+        "</rss>"
+    )
+    items_pred = "http://purl.org/rss/1.0/items"
+    seq_owners = [x.subj for x in t if x.pred == items_pred]
+    assert seq_owners == ["http://one/"]
