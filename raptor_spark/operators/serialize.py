@@ -272,28 +272,81 @@ def _structs_to_triples(ts) -> list:
     ]
 
 
+def _batch_triple_lists(rb):
+    """Arrow batch (group, ts: list<struct>) -> (groups, per-group Triple
+    lists) via COLUMNAR extraction: seven field-array to_pylist calls and
+    one zip, instead of materializing a Python dict per struct (the
+    mapInPandas conversion paid ~3.7 us/triple for those dicts — on par
+    with the writer kernel itself)."""
+    from itertools import islice
+
+    import pyarrow.compute as pc
+
+    groups = rb.column(0).to_pylist()
+    lst = rb.column(1)
+    lens = pc.list_value_length(lst).to_pylist()
+    flat = lst.flatten()
+    if len(flat) != sum(lens):  # non-contiguous list layout: safe fallback
+        tls = [
+            [Triple(*t.values()) for t in row]
+            for row in lst.to_pylist()
+        ]
+        return groups, tls
+    cols = [flat.field(i).to_pylist() for i in range(7)]
+    made = map(Triple._make, zip(*cols))
+    tls = [list(islice(made, n)) for n in lens]
+    return groups, tls
+
+
+def _writer_stage(
+    triples: DataFrame, group_col: str, out_fields, per_group
+) -> DataFrame:
+    """Shared buffered-writer stage: ONE shuffle (the collect_list
+    grouping) then a map-only mapInArrow stage that extracts each batch
+    columnar (see _batch_triple_lists) and applies ``per_group`` to every
+    group's Triple list. ``out_fields`` is [(name, pa_type, schema_str)]
+    for the produced columns after the group key."""
+    import pyarrow as pa
+
+    out_schema = "%s string, %s" % (
+        group_col,
+        ", ".join("%s %s" % (n, s) for n, _t, s in out_fields),
+    )
+    pa_types = [pa.string()] + [t for _n, t, _s in out_fields]
+
+    multi = len(out_fields) > 1
+
+    def run(batches):
+        for rb in batches:
+            groups, tls = _batch_triple_lists(rb)
+            res = [per_group(tl) for tl in tls]
+            arrays = [pa.array(groups, pa_types[0])]
+            if multi:  # per_group returns one tuple per output column
+                for i, t in enumerate(pa_types[1:]):
+                    arrays.append(pa.array([r[i] for r in res], t))
+            else:
+                arrays.append(pa.array(res, pa_types[1]))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[group_col] + [n for n, _t, _s in out_fields]
+            )
+
+    return _grouped_triples(triples, group_col).mapInArrow(
+        run, schema=out_schema
+    )
+
+
 def serialize_documents(
     triples: DataFrame, fmt: str, group_col: str = "conv_id"
 ) -> DataFrame:
     """(group, triples...) -> (group, payload): one serialized document
     per group via the buffered writer kernels. One shuffle (the group
     aggregation), then a map-only Arrow stage that runs the writer for
-    thousands of groups per batch (see _grouped_triples)."""
+    thousands of groups per batch (see _writer_stage)."""
+    import pyarrow as pa
+
     writer = _WRITERS[fmt]
-
-    def run(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    group_col: pdf[group_col],
-                    "payload": [
-                        writer(_structs_to_triples(ts)) for ts in pdf["ts"]
-                    ],
-                }
-            )
-
-    return _grouped_triples(triples, group_col).mapInPandas(
-        run, schema=f"{group_col} string, payload string"
+    return _writer_stage(
+        triples, group_col, [("payload", pa.string(), "string")], writer
     )
 
 
@@ -348,12 +401,13 @@ def rss10_roundtrip_stats(
     then Arrow-batched per-feed kernels — identical scaling shape to
     the other buffered writers."""
 
-    def one(ts):
+    import pyarrow as pa
+
+    def one(tl):
         from raptor_spark.kernel import rss as R
         from raptor_spark.kernel.atom import to_rss10
         from raptor_spark.kernel.compare import graphs_isomorphic
 
-        tl = _structs_to_triples(ts)
         n_in = len(set(tl))
         try:
             xml = to_rss10(tl)
@@ -364,22 +418,15 @@ def rss10_roundtrip_stats(
             ok, n_out = False, -1
         return n_in, n_out, bool(ok)
 
-    def run(batches):
-        for pdf in batches:
-            res = [one(ts) for ts in pdf["ts"]]
-            yield pd.DataFrame(
-                {
-                    group_col: pdf[group_col],
-                    "n_in": [r[0] for r in res],
-                    "n_out": [r[1] for r in res],
-                    "lossless": [r[2] for r in res],
-                }
-            )
-
-    return _grouped_triples(triples, group_col).mapInPandas(
-        run,
-        schema=f"{group_col} string, n_in long, n_out long, "
-        "lossless boolean",
+    return _writer_stage(
+        triples,
+        group_col,
+        [
+            ("n_in", pa.int64(), "long"),
+            ("n_out", pa.int64(), "long"),
+            ("lossless", pa.bool_(), "boolean"),
+        ],
+        one,
     )
 
 
@@ -391,22 +438,14 @@ def serialize_bytes(
     serialize_roundtrip_counts but WITHOUT the verification reparse.
     The bench times this separately so serializer regressions are
     visible apart from the (roughly equal-cost) roundtrip harness."""
+    import pyarrow as pa
+
     writer = _RT_WRITERS[fmt]
-
-    def run(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    group_col: pdf[group_col],
-                    "n_bytes": [
-                        len(writer(_structs_to_triples(ts)).encode("utf-8"))
-                        for ts in pdf["ts"]
-                    ],
-                }
-            )
-
-    return _grouped_triples(triples, group_col).mapInPandas(
-        run, schema=f"{group_col} string, n_bytes long"
+    return _writer_stage(
+        triples,
+        group_col,
+        [("n_bytes", pa.int64(), "long")],
+        lambda tl: len(writer(tl).encode("utf-8")),
     )
 
 
@@ -418,20 +457,12 @@ def serialize_roundtrip_counts(
     check-turtle-serialize harness (rapper -o <fmt> | rdfdiff). Returns
     (group, n_triples); a relational oracle over the source tables pins
     the expected count per group."""
+    import pyarrow as pa
+
     writer = _RT_WRITERS[fmt]
-
-    def run(batches):
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    group_col: pdf[group_col],
-                    "n_triples": [
-                        _roundtrip_count(writer(_structs_to_triples(ts)), fmt)
-                        for ts in pdf["ts"]
-                    ],
-                }
-            )
-
-    return _grouped_triples(triples, group_col).mapInPandas(
-        run, schema=f"{group_col} string, n_triples long"
+    return _writer_stage(
+        triples,
+        group_col,
+        [("n_triples", pa.int64(), "long")],
+        lambda tl: _roundtrip_count(writer(tl), fmt),
     )

@@ -2029,22 +2029,33 @@ _EMB_BITS = 8
 _EMB_BUCKET_CAP = 200
 
 
-def _emb_cos_cols(a, b):
-    """Cosine between two array<double> COLUMN expressions (usable inside
-    higher-order-function lambdas, not just on named top-level columns)."""
-    dot = F.aggregate(
+def _emb_dot(a, b):
+    """Ordered-fold dot product of two array<double> column expressions —
+    the fold order is load-bearing for bit-exact oracle parity."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda c: F.sqrt(
+
+
+def _emb_norm(c):
+    """sqrt of the ordered sum of squares — the ONE norm expression shared
+    by every cosine form below, so a hoisted/staged norm is always the
+    bit-identical double the inline form would have produced."""
+    return F.sqrt(
         F.aggregate(
             F.transform(c, lambda x: x * x),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
     )
-    return dot / (norm(a) * norm(b))
+
+
+def _emb_cos_cols(a, b):
+    """Cosine between two array<double> COLUMN expressions (usable inside
+    higher-order-function lambdas, not just on named top-level columns)."""
+    return _emb_dot(a, b) / (_emb_norm(a) * _emb_norm(b))
 
 
 def _emb_cos(a: str, b: str):
@@ -2624,14 +2635,21 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding"
         ),
     )
+    # stage each side's norm once per row (candidate norms were being
+    # re-folded per (query, candidate) pair); _emb_norm is the module's
+    # single ordered-fold norm, so sim = dot / (qn * cn) is bit-identical
+    # to the inline _emb_cos it replaces
+    withn = emb.select(
+        "vec_id", "embedding", _emb_norm(F.col("embedding")).alias("nrm")
+    )
     dots = (
-        emb.alias("c")
-        .crossJoin(F.broadcast(emb.filter(F.col("vec_id") < 8).alias("q")))
+        withn.alias("c")
+        .crossJoin(F.broadcast(withn.filter(F.col("vec_id") < 8).alias("q")))
         .filter(F.col("q.vec_id") != F.col("c.vec_id"))
     )
-    # the module's single ordered-fold cosine: its fold order is
-    # load-bearing for bit-exact oracle parity, so no inline copy here
-    sim = _emb_cos("q.embedding", "c.embedding")
+    sim = _emb_dot(F.col("q.embedding"), F.col("c.embedding")) / (
+        F.col("q.nrm") * F.col("c.nrm")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
@@ -2742,25 +2760,45 @@ def _ivf_params(n: int):
 
 
 def _ivf_cb_df(spark: SparkSession, rows):
-    """Codebook as ONE row holding array<struct<cell,ce>> sorted by cell:
-    broadcast-crossJoined so every vector row sees the whole codebook as
-    a column — no N x cells row expansion."""
-    return spark.createDataFrame(
+    """Codebook as ONE row holding array<struct<cell,ce,cn>> sorted by
+    cell: broadcast-crossJoined so every vector row sees the whole
+    codebook as a column — no N x cells row expansion. The per-cell norm
+    ``cn`` is precomputed HERE, once in this 1-row plan, with the same
+    _emb_norm expression the inline cosine used — the argmax fold then
+    pays one dot product per cell instead of dot + two array-walk norms
+    (the norms were recomputed per (row, cell); hoisting them is
+    bit-identical because sqrt/fold order are unchanged)."""
+    raw = spark.createDataFrame(
         [(sorted(rows),)], "cb array<struct<cell:int, ce:array<double>>>"
+    )
+    return raw.select(
+        F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                c["cell"].alias("cell"),
+                c["ce"].alias("ce"),
+                _emb_norm(c["ce"]).alias("cn"),
+            ),
+        ).alias("cb")
     )
 
 
-def _ivf_argmax_cell(cb_col):
+def _ivf_argmax_cell(cb_col, en_col):
     """MAP-ONLY argmax over the codebook column: score every cell inside
     transform(), take the lexicographic array_max of (ccos, -cell) —
     highest cosine, ties to the LOWEST cell — identical selection to a
     ROW_NUMBER() ... ORDER BY ccos DESC, cell ASC = 1, with no row
-    expansion and no exchange."""
+    expansion and no exchange. ``en_col`` is the row vector's norm,
+    staged ONCE in its own projection by the caller (it is referenced
+    per cell here; inline it and Catalyst re-evaluates the whole
+    sum-of-squares fold cells times per row)."""
     return F.array_max(
         F.transform(
             cb_col,
             lambda c: F.struct(
-                _emb_cos_cols(F.col("e"), c["ce"]).alias("ccos"),
+                (_emb_dot(F.col("e"), c["ce"]) / (en_col * c["cn"])).alias(
+                    "ccos"
+                ),
                 (-c["cell"]).alias("negcell"),
                 c["cell"].alias("cell"),
             ),
@@ -2769,14 +2807,19 @@ def _ivf_argmax_cell(cb_col):
 
 
 def _ivf_assign(emb: DataFrame, cb_df: DataFrame) -> DataFrame:
-    """Full-corpus IVF cell assignment, (vec_id, e) -> (vec_id, cell, ne).
-    Map-only by construction: one broadcast of the codebook row, a fold
-    per vector — the plan must show NO exchange between the scan and the
-    assignment output (test_plan_shape.py::test_ann_assign_no_exchange)."""
-    return emb.crossJoin(F.broadcast(cb_df)).select(
+    """Full-corpus IVF cell assignment, (vec_id, e) -> (vec_id, cell, ne,
+    nen). Map-only by construction: one broadcast of the codebook row, a
+    fold per vector — the plan must show NO exchange between the scan and
+    the assignment output (test_plan_shape.py::test_ann_assign_no_exchange).
+    ``nen`` carries the vector norm already computed for the argmax so the
+    downstream re-rank cosine reuses it instead of re-walking the array
+    per candidate."""
+    st = emb.select("vec_id", "e", _emb_norm(F.col("e")).alias("en"))
+    return st.crossJoin(F.broadcast(cb_df)).select(
         "vec_id",
-        _ivf_argmax_cell(F.col("cb"))["cell"].alias("cell"),
+        _ivf_argmax_cell(F.col("cb"), F.col("en"))["cell"].alias("cell"),
         F.col("e").alias("ne"),
+        F.col("en").alias("nen"),
     )
 
 
@@ -2842,8 +2885,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _ivf_cb_df(spark, rows)
 
     for _ in range(_IVF_ITERS):
-        win = samp.crossJoin(F.broadcast(_cb_df(cent_rows))).select(
-            _ivf_argmax_cell(F.col("cb"))["cell"].alias("cell"), "vec_id", "e"
+        # stage the sample row's norm once per row (see _ivf_argmax_cell)
+        samp_n = samp.select("vec_id", "e", _emb_norm(F.col("e")).alias("en"))
+        win = samp_n.crossJoin(F.broadcast(_cb_df(cent_rows))).select(
+            _ivf_argmax_cell(F.col("cb"), F.col("en"))["cell"].alias("cell"),
+            "vec_id",
+            "e",
         )
         pe = win.select("cell", "vec_id", F.posexplode("e").alias("pos", "val"))
         # ordered fold (by vec_id) -> bit-exact across engines; a plain
@@ -2893,7 +2940,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("crk", F.row_number().over(wp))
         .filter(F.col("crk") <= _IVF_PROBES)
-        .select("query_id", "cell", "qe")
+        .select(
+            "query_id", "cell", "qe",
+            # query norm, computed once per probe row: the re-rank cosine
+            # below reuses it per candidate (same _emb_norm expression ->
+            # bit-identical sim values)
+            _emb_norm(F.col("qe")).alias("qn"),
+        )
     )
     # probe is queries x probes rows — broadcast it so the big assign side
     # joins map-side (no shuffle of vector payloads)
@@ -2905,7 +2958,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _emb_cos("qe", "ne").alias("sim"),
+            (_emb_dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nen")))
+            .alias("sim"),
         )
         .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= _ANN_K)

@@ -210,7 +210,9 @@ def test_buffered_writer_single_shuffle_batched(spark):  # noqa: F811
         assert "FlatMapGroupsInPandas" not in plan, plan
         import re
 
-        assert len(set(re.findall(r"\(\d+\) MapInPandas", plan))) == 1, plan
+        # round 6: the writer stage is mapInArrow (columnar batch
+        # extraction — no per-struct dict materialization)
+        assert len(set(re.findall(r"\(\d+\) MapInArrow", plan))) == 1, plan
 
 
 def test_parse_stage_rebalanced_to_cores(spark):  # noqa: F811

@@ -192,8 +192,13 @@ def probe_ann(spark, sf_dir):
 
     def one_lloyd():
         cb = Q._ivf_cb_df(spark, cent_rows)
-        win = samp.crossJoin(F.broadcast(cb)).select(
-            Q._ivf_argmax_cell(F.col("cb"))["cell"].alias("cell"), "vec_id", "e"
+        samp_n = samp.select(
+            "vec_id", "e", Q._emb_norm(F.col("e")).alias("en")
+        )
+        win = samp_n.crossJoin(F.broadcast(cb)).select(
+            Q._ivf_argmax_cell(F.col("cb"), F.col("en"))["cell"].alias("cell"),
+            "vec_id",
+            "e",
         )
         pe = win.select("cell", "vec_id", F.posexplode("e").alias("pos", "val"))
         dmeans = pe.groupBy("cell", "pos").agg(
