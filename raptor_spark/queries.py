@@ -1463,24 +1463,42 @@ _MH_AB = [
 ]
 
 
-def _minhash_bands(sh: DataFrame) -> DataFrame:
-    """(doc_id, sh) -> (doc_id, band, mh): banded b x r minhash signatures
-    with the per-bucket size cap applied.
+def _minhash_buckets(sh: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (band, mh, ds): pair-eligible LSH buckets with the
+    size cap applied — ds is the SORTED doc_id list of each bucket.
 
-    All b*r per-shingle minhashes aggregate in ONE groupBy(doc_id) pass
-    (b*r min() columns with map-side combine); the band rows explode
-    from the already-aggregated one-row-per-doc frame. Exploding the
-    shingle rows b-fold BEFORE aggregating (the obvious formulation)
-    multiplies the shuffle input by b — at 8 bands that was the whole
-    cost of the operator. The window count is over the (band, mh)
-    partitioning the pair join reuses, so the cap adds no extra
-    exchange."""
+    One groupBy(band, mh) both applies the cap (size(ds) between 2 and
+    the cap — singleton buckets can produce no pair, and buckets above
+    the cap are dropped exactly as before) and stages the bucket for
+    _bucket_pairs. This replaces the previous window-count + self-join
+    formulation: the window's sort pass disappears, and the whole
+    upstream signature pipeline exists ONCE in the plan instead of once
+    per join side."""
     bands = _minhash_bands_uncapped(sh)
-    w = Window.partitionBy("band", "mh")
     return (
-        bands.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("bsz") <= _LSH_BUCKET_CAP)
-        .drop("bsz")
+        bands.groupBy("band", "mh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, _LSH_BUCKET_CAP))
+    )
+
+
+def _bucket_pairs(buckets: DataFrame, ds: str = "ds") -> DataFrame:
+    """(..., ds: sorted array) -> (a, b) for every i < j pair of each
+    bucket, via two CHAINED explodes (posexplode, then explode of the
+    tail slice): a k-element bucket streams its k^2/2 pairs row by row
+    through codegen — the pair set is never materialized as one array
+    value, so memory stays O(k) per bucket while the aggregation buffer
+    upstream is the only place a whole bucket lives at once. Works for
+    plain values and structs (array_sort on structs orders by the first
+    field — the doc id — which is unique)."""
+    ex = buckets.select(
+        F.posexplode(ds).alias("_i", "a"), F.col(ds).alias("_ds")
+    )
+    return ex.select(
+        "a",
+        F.explode(
+            F.slice(F.col("_ds"), F.col("_i") + 2, F.size(F.col("_ds")))
+        ).alias("b"),
     )
 
 
@@ -1520,16 +1538,9 @@ def _minhash_bands_uncapped(sh: DataFrame) -> DataFrame:
 
 
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
-    bands = _minhash_bands(sh)
     return (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.mh") == F.col("b.mh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _bucket_pairs(_minhash_buckets(sh))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -1623,22 +1634,27 @@ FROM bands a JOIN bands b
 _SHINGLE_DF_CAP = 100
 
 
+def _jaccard_filter(j):
+    """(doc_a, doc_b, common, sz_a, sz_b) -> exact Jaccard, keep pairs
+    >= 0.5 (floored x1000 for engine-stable comparison). The ONE
+    threshold + stabilization definition shared by dedup_jaccard and the
+    LSH cascade (_cascade_pairs) so they can never silently drift."""
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return j.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
+    )
+
+
 def _jaccard_verify(inter, sizes):
     """Attach per-doc shingle-set sizes to (doc_a, doc_b, common)
-    intersection counts, compute exact Jaccard, and keep pairs >= 0.5
-    (floored x1000 for engine-stable comparison). ONE definition shared
-    by dedup_jaccard and the LSH cascade (_cascade_pairs) so the
-    threshold and stabilization can never silently drift apart."""
+    intersection counts and apply the shared threshold filter."""
     j = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .withColumnRenamed("sz", "sz_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("sz", "sz_b")
     )
-    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-    return j.filter(jac >= 0.5).select(
-        "doc_a", "doc_b", F.floor(jac * 1000).cast("long").alias("jaccard_x1000")
-    )
+    return _jaccard_filter(j)
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,20 +1669,24 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = docs.select(
         "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
-    wdf = Window.partitionBy("sh")
-    sh = (
-        sh_all.withColumn("df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("df") <= _SHINGLE_DF_CAP)
-        .drop("df")
+    # ONE groupBy(sh) both applies the DF cap (replacing a window-count
+    # pass, i.e. a full sort of the inverted index) and stages each
+    # shingle's posting list for pair generation; sizes and pairs both
+    # read this single exchange. The k^2 pair fan-out streams through
+    # the chained explode instead of a self-join's shuffle fetch.
+    buckets = (
+        sh_all.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= _SHINGLE_DF_CAP)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = (
+        buckets.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        _bucket_pairs(buckets.filter(F.size("ds") >= 2))
+        .groupBy(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     return _jaccard_verify(inter, sizes)
@@ -1704,26 +1724,46 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.5
 def _cascade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Verified near-dup pairs (doc_a, doc_b, jaccard_x1000): MinHash-LSH
     candidates -> exact n-gram Jaccard >= 0.5. Shared by dedup_cascade
-    and dedup_clusters."""
+    and dedup_clusters.
+
+    The verify stage joins each candidate pair to the two documents'
+    shingle-SET arrays and intersects them per pair (array_intersect
+    over distinct arrays == the old count of matching exploded shingle
+    rows) — the old formulation joined the 100x-larger exploded shingle
+    index twice and re-aggregated, shuffling every shingle row of every
+    matched document per side."""
     docs = _rebalance(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
-    )
+    shsets = docs.select(
+        "doc_id",
+        F.array_distinct(_shingles(F.col("text"))).alias("shs"),
+    ).select("doc_id", "shs", F.size("shs").alias("sz"))
+    sh = shsets.select("doc_id", F.explode("shs").alias("sh"))
     cand = _minhash_pairs(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.sh") == F.col("sb.sh")),
+    j = (
+        cand.join(
+            shsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shs").alias("_sa"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            shsets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shs").alias("_sb"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "sz_a", "sz_b",
+            F.size(F.array_intersect("_sa", "_sb")).alias("common"),
+        )
     )
-    return _jaccard_verify(inter, sizes)
+    return _jaccard_filter(j)
 
 
 def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1771,11 +1811,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _t0 = _time.time()
     pairs = _cascade_pairs(spark, sf_dir)
+    # both edge directions from ONE pass over the pairs (explode of a
+    # 2-struct array) — the union-of-two-selects form put the whole
+    # cascade subtree in the plan twice
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("_e")
         )
+        .select("_e.u", "_e.v")
         .localCheckpoint()
     )
     labels = (
@@ -1796,6 +1848,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         prop = labels.join(nbr_min, "node", "left").select(
             "node",
+            # the round's INPUT label rides along so the changed-count
+            # below is a filter over the checkpointed frame instead of a
+            # join back against the previous checkpoint (one fewer
+            # shuffle + job per round)
+            F.col("lbl").alias("_old"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
             ).alias("lbl"),
@@ -1806,23 +1863,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         hop = prop.select(
             F.col("node").alias("pnode"), F.col("lbl").alias("plbl")
         )
-        new_labels = (
-            prop.join(hop, prop["lbl"] == hop["pnode"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("plbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .localCheckpoint()
+        stepped = prop.join(hop, prop["lbl"] == hop["pnode"], "left").select(
+            "node",
+            "_old",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("plbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
+        new_labels = stepped.select(
+            "node", "lbl", (F.col("lbl") != F.col("_old")).alias("_chg")
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
@@ -1952,14 +2004,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "blk_val", F.expr(f"shiftright(simhash, blk * {width}) & {mask}")
     )
-    cand = (
-        blocks.alias("a")
-        .join(
-            blocks.alias("b"),
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket-collect + chained-explode pair generation (see _bucket_pairs)
+    # instead of a self-join: the fingerprint aggregation upstream exists
+    # once in the plan rather than once per join side, and the block
+    # sort/shuffle of the window-free join disappears. array_sort on the
+    # (doc_id, simhash) structs orders by doc_id (unique), so a < b holds
+    # for every emitted pair exactly as the join's a.doc_id < b.doc_id.
+    buckets = (
+        blocks.groupBy("blk", "blk_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
         )
+        .filter(F.size("ds") >= 2)
+    )
+    cand = (
+        _bucket_pairs(buckets)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -2696,13 +2757,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
     bucketed = _emb_lsh_buckets(emb)
-    joined = (
-        bucketed.alias("a")
-        .join(bucketed.alias("b"), ["tab", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    return joined.groupBy("tab", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("candidate_pairs")
+    # a bucket of k vectors contributes exactly k*(k-1)/2 ordered pairs,
+    # so the count is pure arithmetic over bucket sizes — the self-join
+    # this replaces enumerated every pair row only to count it (and
+    # buckets of size 1 produced no row, hence the k >= 2 filter)
+    return (
+        bucketed.groupBy("tab", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= 2)
+        .select(
+            "tab",
+            "bucket",
+            F.expr("CAST(k * (k - 1) DIV 2 AS BIGINT)").alias(
+                "candidate_pairs"
+            ),
+        )
     )
 
 

@@ -58,7 +58,7 @@ def _noop(df):
 
 def probe_dedup(spark, sf_dir):
     from raptor_spark.queries import (
-        _minhash_bands,
+        _minhash_buckets,
         _minhash_pairs,
         _rebalance,
         _shingles,
@@ -85,8 +85,8 @@ def probe_dedup(spark, sf_dir):
         "dedup: sh + md5 base",
         lambda: _noop(sh.select("doc_id", base.alias("hb"))),
     )
-    bands = _minhash_bands(sh)
-    _t(spark, "dedup: capped bands", lambda: _noop(bands))
+    buckets = _minhash_buckets(sh)
+    _t(spark, "dedup: capped buckets", lambda: _noop(buckets))
     _t(spark, "dedup: minhash pairs (join)", lambda: _noop(_minhash_pairs(sh)))
     _t(
         spark,
