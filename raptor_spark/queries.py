@@ -1091,13 +1091,22 @@ def q_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "word"
     ).agg(F.count(F.lit(1)).alias("mentions"), F.min("prior").alias("prior"))
     scored = cand.withColumn("score", F.col("mentions") * F.col("prior"))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.asc("word")
+    # best candidate per document as a min-of-struct aggregate (same
+    # desc-score / asc-word tie-break as the row_number window it
+    # replaces, with map-side partial aggregation and no sort — the
+    # operators/link.py pattern)
+    best = scored.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("_ns"),
+                F.col("word").alias("word"),
+            )
+        ).alias("_b")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("word").alias("entity"), "score")
+    return best.select(
+        "doc_id",
+        F.col("_b.word").alias("entity"),
+        (-F.col("_b._ns")).alias("score"),
     )
 
 
@@ -2178,10 +2187,33 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    # per-vector norms computed once at the re-fetch (same _emb_norm
+    # expression as the inline cosine -> bit-identical cos values),
+    # instead of re-folding both norms per candidate pair
+    embn = emb.select("vec_id", "e", _emb_norm(F.col("e")).alias("nrm"))
     pairs = (
-        cand.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")), "vec_a")
-        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")), "vec_b")
-        .select("vec_a", "vec_b", _emb_cos("ea", "eb").alias("cos"))
+        cand.join(
+            embn.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            embn.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            (_emb_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")))
+            .alias("cos"),
+        )
     )
     return pairs.filter(F.col("cos") >= 0.35).select(
         "vec_a", "vec_b", F.floor(F.col("cos") * 1000).cast("long").alias("cos_x1000")
@@ -2417,9 +2449,18 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ratio") >= 400)
         & (F.col("lang_pred") == "en")
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    exact = scored.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") == 1
+    # keep-min-doc_id-per-fingerprint as a min-of-struct AGGREGATE (the
+    # struct compares doc_id first, which is unique): identical rows to
+    # the row_number()-over-(fp, doc_id)-window form it replaces, but
+    # with map-side partial aggregation and no per-partition sort
+    exact = (
+        scored.groupBy("fp")
+        .agg(
+            F.min(
+                F.struct("doc_id", "text", "n_tokens", "lang_pred")
+            ).alias("_m")
+        )
+        .select("_m.doc_id", "_m.text", "_m.n_tokens", "_m.lang_pred")
     )
     dropped = (
         q_dedup_clusters(spark, sf_dir)
@@ -2961,30 +3002,29 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "e",
         )
-        pe = win.select("cell", "vec_id", F.posexplode("e").alias("pos", "val"))
         # ordered fold (by vec_id) -> bit-exact across engines; a plain
-        # SUM() would depend on partition-order float association
-        dmeans = pe.groupBy("cell", "pos").agg(
-            (
-                F.aggregate(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
-                        lambda s: s["val"],
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / F.count(F.lit(1))
-            ).alias("mv")
+        # SUM() would depend on partition-order float association.
+        # ONE groupBy(cell) collects the cell's vectors sorted by vec_id
+        # and folds each dimension across them in that order — the same
+        # adds in the same order as the previous posexplode +
+        # groupBy(cell, pos) + groupBy(cell) pair, without exploding
+        # sample_size x dim rows through two exchanges.
+        dim = len(cent_rows[0][1])
+        cell_vecs = win.groupBy("cell").agg(
+            F.array_sort(F.collect_list(F.struct("vec_id", "e"))).alias("vs")
+        )
+        nce = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda p: F.aggregate(
+                F.col("vs"),
+                F.lit(0.0),
+                lambda acc, v: acc + F.element_at(v["e"], p + 1),
+            )
+            / F.size("vs"),
         )
         newc = {
             r["cell"]: r["nce"]
-            for r in dmeans.groupBy("cell").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda s: s["mv"],
-                ).alias("nce")
-            ).collect()
+            for r in cell_vecs.select("cell", nce.alias("nce")).collect()
         }
         # an empty cell keeps its previous centroid
         cent_rows = [

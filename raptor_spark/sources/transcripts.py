@@ -133,12 +133,24 @@ def tpch_transcripts(
         F.concat(F.lit("  ex:customer "), cust, F.lit(" .")),
     )
 
-    # lineitem lines (grouped per order, order stable by linenumber)
-    li = lineitem.select(
-        F.col("l_orderkey").alias("k"),
-        F.col("l_linenumber").alias("ln"),
-        F.col("l_partkey").alias("pk"),
-        F.col("l_quantity").cast("int").alias("qty"),
+    # lineitem lines (grouped per order, order stable by linenumber).
+    # The narrow (k, ln, pk, qty) scan is rebalanced to session
+    # parallelism BEFORE the five per-syntax renderings: parquet plans
+    # splits by bytes, so the byte-small lineitem table yields ~3 splits
+    # and the whole codegen string-build stage — by far the heaviest part
+    # of synthesis — would run on 3 cores (measured: turns noop 2.5s ->
+    # 1.3s at sf0.1 local[32] when fixed). The rebalance shuffles only
+    # the four narrow source columns; rendered strings stay in the same
+    # stage as the aggregation's map side, exactly as before.
+    from raptor_spark.operators.parse import rebalance_for_parse
+
+    li = rebalance_for_parse(
+        lineitem.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_partkey").alias("pk"),
+            F.col("l_quantity").cast("int").alias("qty"),
+        )
     )
     li_subj = F.concat(F.lit("<" + ORDER_NS), F.col("k"), F.lit(">"))
     # linenumber alone is NOT unique per order in the synthetic data; the
