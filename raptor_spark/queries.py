@@ -1735,44 +1735,31 @@ def _cascade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates -> exact n-gram Jaccard >= 0.5. Shared by dedup_cascade
     and dedup_clusters.
 
-    The verify stage joins each candidate pair to the two documents'
-    shingle-SET arrays and intersects them per pair (array_intersect
-    over distinct arrays == the old count of matching exploded shingle
-    rows) — the old formulation joined the 100x-larger exploded shingle
-    index twice and re-aggregated, shuffling every shingle row of every
-    matched document per side."""
+    (An array_intersect formulation over per-document shingle-SET
+    columns was tried in round 6 and rejected on measurement: the
+    planner broadcasts the corpus-side set table at test scale, and
+    with sort-merge hints the two set-array shuffles still measured
+    slower than this exploded-index join, whose candidate side the
+    planner broadcasts.)"""
     docs = _rebalance(
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
-    shsets = docs.select(
-        "doc_id",
-        F.array_distinct(_shingles(F.col("text"))).alias("shs"),
-    ).select("doc_id", "shs", F.size("shs").alias("sz"))
-    sh = shsets.select("doc_id", F.explode("shs").alias("sh"))
-    cand = _minhash_pairs(sh)
-    j = (
-        cand.join(
-            shsets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("shs").alias("_sa"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            shsets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("shs").alias("_sb"),
-                F.col("sz").alias("sz_b"),
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a", "doc_b", "sz_a", "sz_b",
-            F.size(F.array_intersect("_sa", "_sb")).alias("common"),
-        )
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("sh")
     )
-    return _jaccard_filter(j)
+    cand = _minhash_pairs(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.sh") == F.col("sb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return _jaccard_verify(inter, sizes)
 
 
 def q_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
