@@ -379,12 +379,17 @@ def guess_parser_name(
     if text:
         # FIRSTN is a BYTE window (the reference truncates the raw
         # buffer at buffer[1024]); slicing characters would scan
-        # further into multibyte content than the reference does. A
-        # partial trailing sequence can't match an ASCII marker, so
-        # dropping it ('ignore') is byte-window-equivalent.
+        # further into multibyte content than the reference does.
+        # Decode with 'replace', not 'ignore': 'ignore' DROPPED invalid
+        # bytes anywhere in the window, so two fragments separated by a
+        # bad byte could splice into an ASCII marker that was never
+        # contiguous in the raw buffer. U+FFFD keeps every invalid byte
+        # (and the truncated trailing sequence) as a separator the ASCII
+        # marker scan can never match across — exactly the reference's
+        # raw-byte contiguity (round-6 ADVICE fix).
         raw = text.encode("utf-8", "surrogatepass")
         buf = (
-            raw[:FIRSTN].decode("utf-8", "ignore")
+            raw[:FIRSTN].decode("utf-8", "replace")
             if len(raw) > FIRSTN
             else text
         )

@@ -1279,21 +1279,27 @@ def to_mkr(
             continue
         emit_subject(subj, blank_subjects[subj], 0)
 
-    # dangling recovery (mirrors to_turtle): a blank subject skipped as
-    # "inlined at its reference point" whose reference site itself was
-    # never emitted (orphan reference cycles like '_:a p _:b . _:b p
-    # _:a .') must still be emitted top-level in NAMED form, or its
-    # statements silently vanish from the output
+    # dangling recovery (same trigger as to_turtle's): a blank subject
+    # skipped as "inlined at its reference point" whose reference site
+    # itself was never emitted (orphan reference cycles like '_:a p _:b .
+    # _:b p _:a .') must still be emitted top-level in NAMED form, or its
+    # statements silently vanish from the output. Emitted in the mkr
+    # named-blank grammar ('_:x has ... ] ;') that emit_subject uses for
+    # every other named blank — the first cut closed with the Turtle
+    # writer's bare ' .', which no other mkr statement uses (round-6
+    # ADVICE fix).
     for subj in sorted(blank_subjects, key=_ttlx_term_key):
         if subj in invalid or count_as_object[subj] != 1:
             continue
         invalid.add(subj)
         w.raw("_:" + subj[1])
+        w.raw(" has")
         w.level += 1
         w.newline()
         emit_properties(blank_subjects[subj], 1)
         w.level -= 1
-        w.raw(" .")
+        w.raw("]")
+        w.raw(" ;")
         w.newline()
         w.newline()
 

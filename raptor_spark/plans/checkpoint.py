@@ -112,14 +112,33 @@ def write_bucketed(
     run only carries unfinished buckets, so replacing exactly the
     partitions it writes makes a crash-replay idempotent — a run that
     died AFTER appending bucket data but BEFORE its manifest row would
-    otherwise leave a duplicate copy under the bucket on resume. (The
-    one residual: a replay that produces zero rows for a bucket whose
-    crashed predecessor wrote some leaves the stale rows; the manifest
-    row still describes the replay.) The manifest itself stays
-    append-only — readers aggregate it per bucket.
+    otherwise leave a duplicate copy under the bucket on resume. Dynamic
+    overwrite alone cannot clear a partition the replay writes ZERO rows
+    into, so when ``turns`` names the buckets this run owns, those
+    partition directories are deleted up front — a bucket whose
+    conversations all legitimately parse to zero triples then lands
+    clean instead of surfacing a crashed predecessor's stale rows
+    (round-6 ADVICE fix). The manifest itself stays append-only —
+    readers aggregate it per bucket.
     """
     t = with_bucket(triples, n_buckets, bucket_fn=bucket_fn)
     e = with_bucket(errors, n_buckets, bucket_fn=bucket_fn)
+    if turns is not None:
+        import shutil
+
+        owned = [
+            r["bucket"]
+            for r in with_bucket(
+                turns.select("conv_id"), n_buckets, bucket_fn=bucket_fn
+            ).select("bucket").distinct().collect()
+        ]
+        subs = ["triples", "errors"] + (["links"] if links is not None else [])
+        for sub in subs:
+            for bkt in owned:
+                shutil.rmtree(
+                    os.path.join(out_dir, sub, "bucket=%s" % bkt),
+                    ignore_errors=True,
+                )
     t.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("bucket").parquet(os.path.join(out_dir, "triples"))

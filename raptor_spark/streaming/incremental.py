@@ -85,11 +85,27 @@ def _finalize(key: str, idxs, texts, tool: str):
     order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
     doc = "".join(texts[i] for i in order)
     try:
-        # parse_one records malformed input as error rows (dropped here;
-        # see the module docstring) — the except is the batch operator's
-        # one-bad-doc-must-not-kill-a-batch guard for kernel crashes
+        # parse_one records malformed input as error rows (dropped from
+        # the OUTPUT; see the module docstring) — but both they and the
+        # one-bad-doc-must-not-kill-a-batch kernel-crash guard below are
+        # LOGGED to the executor's stderr first, so a drained corpus can
+        # be audited for silent parse loss without a separate batch pass
+        # (round-6 ADVICE fix for the streaming observability gap)
         triples, _errors = parse_one(doc, tool)
-    except Exception:
+        if _errors:
+            import logging
+
+            logging.getLogger("raptor_spark.streaming").warning(
+                "stream parse errors conv_id=%s fmt=%s n=%d first=%r",
+                key, tool, len(_errors),
+                _errors[0].get("message") if _errors else None,
+            )
+    except Exception as e:
+        import logging
+
+        logging.getLogger("raptor_spark.streaming").error(
+            "stream parse kernel failure conv_id=%s fmt=%s: %r", key, tool, e
+        )
         triples = []
     triples = list(dict.fromkeys(triples))  # per-document dedup
     return pd.DataFrame(

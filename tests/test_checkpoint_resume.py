@@ -202,3 +202,31 @@ def test_empty_manifest_dir_reads_as_nothing_finished(spark, tmp_path):
     out = str(tmp_path / "job")
     os.makedirs(os.path.join(out, "manifest"))
     assert ckpt.finished_buckets(spark, out) is None
+
+
+def test_zero_row_replay_clears_stale_bucket_data(
+    spark, transcripts, tmp_path_factory
+):
+    """Dynamic partition overwrite alone cannot clear a partition the
+    replay writes ZERO rows into: a crashed predecessor's rows would
+    survive under a bucket whose conversations all legitimately parse
+    to zero triples. write_bucketed pre-deletes the partitions of the
+    buckets the run owns (from `turns`), so the zero-row replay lands
+    clean (round-6 ADVICE fix)."""
+    from raptor_spark.pipeline import build_graph
+    from raptor_spark.plans import checkpoint as ckpt
+
+    out = str(tmp_path_factory.mktemp("zero_replay"))
+    triples, errors = build_graph(transcripts)
+    ckpt.write_bucketed(triples, errors, out, n_buckets=4, turns=transcripts)
+    assert spark.read.parquet(out + "/triples").count() > 0
+    # crash-replay of the same buckets, now yielding zero triples
+    empty = triples.filter("1 = 0")
+    ckpt.write_bucketed(empty, errors.filter("1 = 0"), out, n_buckets=4,
+                        turns=transcripts)
+    import glob
+    import os
+
+    assert not glob.glob(os.path.join(out, "triples", "bucket=*")), (
+        "stale bucket partitions survived a zero-row replay"
+    )

@@ -235,3 +235,22 @@ def test_guess_firstn_is_a_byte_window():
     assert guess_parser_name("é" * 700 + ttl) is None
     # inside the byte window it still scores
     assert guess_parser_name("é" * 400 + ttl) == "turtle"
+
+
+def test_guess_invalid_bytes_do_not_splice_markers():
+    """An invalid byte between two fragments must stay a separator in
+    the scored window (the reference scans the raw buffer, where
+    '@pre<bad>fix ' can never match '@prefix '): decoding the FIRSTN
+    window with errors='ignore' used to DROP the bad byte and splice
+    the fragments into a marker that was never contiguous (round-6
+    ADVICE fix -> errors='replace')."""
+    from raptor_spark.kernel.guess import guess_parser_name
+
+    # a lone surrogate encodes (surrogatepass) to bytes no UTF-8 decode
+    # accepts — the in-window stand-in for a raw invalid byte; padding
+    # pushes the total past FIRSTN so the byte-window decode path runs
+    spliceable = "@pre\ud800fix rdf: <http://x> .\n" + "a " * 600
+    assert guess_parser_name(spliceable) != "turtle"
+    # the same content with the marker genuinely contiguous still scores
+    clean = "@prefix rdf: <http://x> .\n" + "a " * 600
+    assert guess_parser_name(clean) == "turtle"

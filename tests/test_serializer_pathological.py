@@ -88,3 +88,20 @@ def test_atom_default_namespace_renders_bare():
     assert _qname_for(atom_uri, ATOM10_NS) == "customField"
     # non-default namespaces still render prefixed
     assert ":" in (_qname_for(atom_uri, 0) or "")
+
+
+def test_mkr_recovered_orphans_use_named_has_grammar():
+    """The mkr dangling-recovery block must emit recovered orphan-cycle
+    blanks in the writer's own named-blank grammar ('_:x has ... ] ;'),
+    not the Turtle writer's bare ' .' terminator it was first copied
+    from (round-6 ADVICE fix)."""
+    from raptor_spark.kernel.serialize import to_mkr
+
+    orb = [
+        _t("_:a", "http://e/p", KIND_BLANK, "b"),
+        _t("_:b", "http://e/p", KIND_BLANK, "a"),
+    ]
+    out = to_mkr(orb)
+    assert "_:a has" in out and "] ;" in out, out
+    # no Turtle-style ' .' statement terminator anywhere in mkr output
+    assert " .\n" not in out, out
