@@ -2856,67 +2856,75 @@ def _ivf_params(n: int):
     return cells, max(1, n // s)
 
 
-def _ivf_cb_df(spark: SparkSession, rows):
-    """Codebook as ONE row holding array<struct<cell,ce,cn>> sorted by
-    cell: broadcast-crossJoined so every vector row sees the whole
-    codebook as a column — no N x cells row expansion. The per-cell norm
-    ``cn`` is precomputed HERE, once in this 1-row plan, with the same
-    _emb_norm expression the inline cosine used — the argmax fold then
-    pays one dot product per cell instead of dot + two array-walk norms
-    (the norms were recomputed per (row, cell); hoisting them is
-    bit-identical because sqrt/fold order are unchanged)."""
-    raw = spark.createDataFrame(
-        [(sorted(rows),)], "cb array<struct<cell:int, ce:array<double>>>"
-    )
-    return raw.select(
-        F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                c["cell"].alias("cell"),
-                c["ce"].alias("ce"),
-                _emb_norm(c["ce"]).alias("cn"),
-            ),
-        ).alias("cb")
-    )
-
-
-def _ivf_argmax_cell(cb_col, en_col):
-    """MAP-ONLY argmax over the codebook column: score every cell inside
-    transform(), take the lexicographic array_max of (ccos, -cell) —
-    highest cosine, ties to the LOWEST cell — identical selection to a
-    ROW_NUMBER() ... ORDER BY ccos DESC, cell ASC = 1, with no row
-    expansion and no exchange. ``en_col`` is the row vector's norm,
-    staged ONCE in its own projection by the caller (it is referenced
-    per cell here; inline it and Catalyst re-evaluates the whole
-    sum-of-squares fold cells times per row)."""
-    return F.array_max(
-        F.transform(
-            cb_col,
-            lambda c: F.struct(
-                (_emb_dot(F.col("e"), c["ce"]) / (en_col * c["cn"])).alias(
-                    "ccos"
-                ),
-                (-c["cell"]).alias("negcell"),
-                c["cell"].alias("cell"),
-            ),
-        )
-    )
-
-
-def _ivf_assign(emb: DataFrame, cb_df: DataFrame) -> DataFrame:
+def _ivf_assign(emb: DataFrame, cent_rows) -> DataFrame:
     """Full-corpus IVF cell assignment, (vec_id, e) -> (vec_id, cell, ne,
-    nen). Map-only by construction: one broadcast of the codebook row, a
-    fold per vector — the plan must show NO exchange between the scan and
-    the assignment output (test_plan_shape.py::test_ann_assign_no_exchange).
-    ``nen`` carries the vector norm already computed for the argmax so the
-    downstream re-rank cosine reuses it instead of re-walking the array
-    per candidate."""
-    st = emb.select("vec_id", "e", _emb_norm(F.col("e")).alias("en"))
-    return st.crossJoin(F.broadcast(cb_df)).select(
-        "vec_id",
-        _ivf_argmax_cell(F.col("cb"), F.col("en"))["cell"].alias("cell"),
-        F.col("e").alias("ne"),
-        F.col("en").alias("nen"),
+    nen), as ONE numpy mapInArrow stage (guide §4.2: hand whole batches
+    to vectorized native code). The trained codebook (a cells x dim
+    model artifact) ships in the task closure; the plan has NO join and
+    NO exchange at all between the scan and the assignment output
+    (test_plan_shape.py::test_ann_assign_no_exchange).
+
+    Bit-exactness with the DuckDB oracle's ordered folds is preserved by
+    accumulating PER DIMENSION IN ORDER: ``acc += E[:, d] * C[c, d]``
+    applies, for every (row, cell) element, exactly the IEEE add/multiply
+    sequence of the JVM fold it replaces (acc starts 0.0, one product
+    added per dimension in ascending order) — vectorized ACROSS rows,
+    ordered WITHIN each scalar accumulation. numpy.dot/np.sum would use
+    pairwise/SIMD association and break the parity. Ties in the argmax
+    go to the first (lowest) cell, matching ORDER BY ccos DESC, cell ASC.
+    ``nen`` carries each vector's norm so the downstream re-rank cosine
+    reuses it instead of re-walking the array per candidate."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows = sorted(cent_rows)
+    cells = [c for c, _ in rows]
+    C = np.array([ce for _, ce in rows], dtype=np.float64)  # cells x dim
+    dim = C.shape[1]
+    cn_acc = np.zeros(len(rows))
+    for d in range(dim):
+        cn_acc += C[:, d] * C[:, d]
+    cn = np.sqrt(cn_acc)
+    cell_ids = np.array(cells, dtype=np.int32)
+
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("cell", pa.int32()),
+            ("ne", pa.list_(pa.float64())),
+            ("nen", pa.float64()),
+        ]
+    )
+
+    def run(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            e_col = rb.column("e")
+            E = np.asarray(e_col.flatten().to_numpy(zero_copy_only=False))
+            E = E.reshape(n, dim)
+            en_acc = np.zeros(n)
+            dots = np.zeros((n, len(cells)))
+            for d in range(dim):
+                col = E[:, d]
+                en_acc += col * col
+                dots += col[:, None] * C[None, :, d]
+            en = np.sqrt(en_acc)
+            ccos = dots / (en[:, None] * cn[None, :])
+            best = cell_ids[np.argmax(ccos, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("vec_id"),
+                    pa.array(best, pa.int32()),
+                    e_col,
+                    pa.array(en, pa.float64()),
+                ],
+                schema=out_schema,
+            )
+
+    return emb.select("vec_id", "e").mapInArrow(
+        run, schema="vec_id bigint, cell int, ne array<double>, nen double"
     )
 
 
@@ -2978,16 +2986,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # codebook re-enters the plan bit-identical
         return spark.createDataFrame(rows, "cell int, ce array<double>")
 
-    def _cb_df(rows):
-        return _ivf_cb_df(spark, rows)
-
     for _ in range(_IVF_ITERS):
-        # stage the sample row's norm once per row (see _ivf_argmax_cell)
-        samp_n = samp.select("vec_id", "e", _emb_norm(F.col("e")).alias("en"))
-        win = samp_n.crossJoin(F.broadcast(_cb_df(cent_rows))).select(
-            _ivf_argmax_cell(F.col("cb"), F.col("en"))["cell"].alias("cell"),
-            "vec_id",
-            "e",
+        # sample assignment through the same numpy mapInArrow stage the
+        # full corpus uses (ordered per-dimension accumulation ->
+        # bit-identical cosines; see _ivf_assign)
+        win = _ivf_assign(samp, cent_rows).select(
+            "cell", "vec_id", F.col("ne").alias("e")
         )
         # ordered fold (by vec_id) -> bit-exact across engines; a plain
         # SUM() would depend on partition-order float association.
@@ -3023,7 +3027,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-corpus assignment: broadcast the codebook-as-a-column and fold
     # per row — map-only, the plan has NO exchange between the parquet
     # scan and the assignment (gated by test_plan_shape.py)
-    assign = _ivf_assign(emb, _cb_df(cent_rows))
+    assign = _ivf_assign(emb, cent_rows)
     # probe selection runs only over the 8 query vectors (top _IVF_PROBES
     # cells each): the crossJoin + window is 8 x cells rows, driver-trivial
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))

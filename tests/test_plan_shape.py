@@ -153,34 +153,27 @@ def test_nt_sink_single_scan(spark, tmp_path):  # noqa: F811
 
 
 def test_ann_assign_no_exchange(spark):  # noqa: F811
-    """IVF cell assignment is MAP-ONLY: the codebook rides as one
-    broadcast array<struct> column and each vector folds over it. The
-    old plan expanded N x cells rows (each with the full embedding) and
-    shuffled them through Window.partitionBy(vec_id) — an N^1.5-row
-    exchange of vector payloads at cells = sqrt(N)."""
-    from raptor_spark.queries import _ivf_assign, _ivf_cb_df
+    """IVF cell assignment is MAP-ONLY: the trained codebook ships in
+    the task closure of ONE numpy mapInArrow stage — the plan has no
+    join and no exchange of any kind between the scan and the
+    assignment output. (Earlier formulations expanded N x cells rows
+    through a Window exchange, then folded a broadcast codebook column
+    per row in interpreted higher-order functions; round 6 moved the
+    fold to vectorized numpy with ordered per-dimension accumulation,
+    which is bit-identical to the JVM fold.)"""
+    from raptor_spark.queries import _ivf_assign
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
     )
     dim = len(emb.select("e").first()["e"])
-    cb = _ivf_cb_df(
-        spark, [(c, [float(c + 1)] * (dim - 1) + [1.0]) for c in range(4)]
-    )
-    assign = _ivf_assign(emb, cb)
+    cent_rows = [(c, [float(c + 1)] * (dim - 1) + [1.0]) for c in range(4)]
+    assign = _ivf_assign(emb, cent_rows)
     plan = _formatted_plan(assign)
-    # the ONLY exchange allowed is the broadcast of the 1-row codebook;
-    # no shuffle exchange may touch the vector rows
-    shuffles = [
-        line
-        for line in plan.splitlines()
-        if "Exchange (" in line
-        and "BroadcastExchange" not in line
-        and "Reused" not in line
-    ]
-    assert not shuffles, plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+    # NO exchange of any kind may touch the vector rows
+    assert _n_exchanges(plan) == 0 and "BroadcastExchange" not in plan, plan
+    assert "MapInArrow" in plan, plan
     # and it actually assigns every vector to some cell
     n = emb.count()
     assert assign.filter(F.col("cell").isNotNull()).count() == n

@@ -191,14 +191,8 @@ def probe_ann(spark, sf_dir):
     cent_rows = [(r["cell"], r["ce"]) for r in cent_rows]
 
     def one_lloyd():
-        cb = Q._ivf_cb_df(spark, cent_rows)
-        samp_n = samp.select(
-            "vec_id", "e", Q._emb_norm(F.col("e")).alias("en")
-        )
-        win = samp_n.crossJoin(F.broadcast(cb)).select(
-            Q._ivf_argmax_cell(F.col("cb"), F.col("en"))["cell"].alias("cell"),
-            "vec_id",
-            "e",
+        win = Q._ivf_assign(samp, cent_rows).select(
+            "cell", "vec_id", F.col("ne").alias("e")
         )
         pe = win.select("cell", "vec_id", F.posexplode("e").alias("pos", "val"))
         dmeans = pe.groupBy("cell", "pos").agg(
@@ -222,7 +216,7 @@ def probe_ann(spark, sf_dir):
         ).collect()
 
     _t(spark, "ann: one Lloyd round", one_lloyd, repeats=2)
-    assign = Q._ivf_assign(emb, Q._ivf_cb_df(spark, cent_rows))
+    assign = Q._ivf_assign(emb, cent_rows)
     _t(spark, "ann: assignment pass (noop)", lambda: _noop(assign))
     _t(
         spark,
