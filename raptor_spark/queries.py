@@ -2971,15 +2971,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # k-means++-style seeding stand-in: hash order is corpus-independent
     # and uniform, so the top-`cells` hash ranks are a deterministic
-    # uniform seed draw (the window sorts only the training sample)
-    w_seed = Window.orderBy("hv", "vec_id")
-    cent_rows = (
-        samp.withColumn("cell", F.row_number().over(w_seed) - 1)
-        .filter(F.col("cell") < cells)
-        .select("cell", F.col("e").alias("ce"))
+    # uniform seed draw. orderBy(...).limit(cells) is a parallel
+    # TakeOrdered (partial top-K per partition, merged ordered on the
+    # driver) — identical rows and order to the row_number()-over-a-
+    # global-window form it replaces, which sorted the whole sample in
+    # ONE task; cell = position in that order either way.
+    seed_rows = (
+        samp.select("hv", "vec_id", "e")
+        .orderBy("hv", "vec_id")
+        .limit(cells)
         .collect()
     )
-    cent_rows = [(r["cell"], r["ce"]) for r in cent_rows]
+    cent_rows = [(i, r["e"]) for i, r in enumerate(seed_rows)]
 
     def _cent_df(rows):
         # Python floats round-trip IEEE doubles exactly, so the collected
